@@ -1,0 +1,147 @@
+"""Occupancy + semantics rendering (hot loop #4).
+
+Reimplements getOccupancyResult / determineIfVoxelOccupied /
+calculateWeightAndSemanticsInVoxel (semantic_dsp_map.h:1239-1383,
+operations.h:390-448, 606-639) as dense per-voxel segment reductions.
+
+The reference's reduction has *side effects* that are load-bearing and kept:
+  - weights above 1 are clamped in storage (operations.h:417-419);
+  - live UPDATED particles with weight below the newborn weight are
+    garbage-collected to INVALID and excluded from the semantics argmax
+    (operations.h:423-427) — note their weight still entered weight_sum.
+
+Occupancy code per voxel (operations.h:623-639):
+  -1 unknown (voxel never observed / wrapped out), 0 free, 1 occupied
+  (weight_sum > threshold), 2 guessed-occupied (guessed weight >= newborn
+  weight).  Semantics are the (label, track) of the track id with the largest
+  summed weight; ties resolve to the lowest track id (std::map iteration
+  order with a strict '>' update, operations.h:439-448).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig, PARTICLE_OCC_INIT_WEIGHT
+from ..state import (
+    MapState,
+    Particles,
+    STATUS_GUESSED_BORN,
+    STATUS_INVALID,
+    STATUS_UPDATED,
+)
+from . import codecs
+
+
+class RenderResult(NamedTuple):
+    occ: jax.Array         # i32[V]: -1 unknown, 0 free, 1 occupied, 2 guessed
+    label: jax.Array       # i32[V]
+    track: jax.Array       # i32[V]
+    weight_sum: jax.Array  # f32[V] (−1 for unknown voxels)
+    voxel_pos: jax.Array   # f32[V, 3] global-frame voxel corner position
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def render_occupancy(
+    cfg: MapConfig,
+    state: MapState,
+    occupancy_threshold: float,
+):
+    """Returns (particles_after_gc, RenderResult)."""
+    p = state.particles
+    K = cfg.slots_per_voxel
+
+    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
+    alive = codecs.particle_alive(p.status, p.stamp, vox_axis_stamp)
+    vvalid = codecs.voxel_valid(state.voxel_stamp, vox_axis_stamp)
+
+    w = p.weight
+    # weight_sum accumulates the *pre-clamp* weights (operations.h:414).
+    weight_sum = jnp.sum(jnp.where(alive, w, 0.0), axis=1)
+
+    w_clamped = jnp.minimum(w, 1.0)
+    guessed = alive & (p.status == STATUS_GUESSED_BORN)
+    gc = alive & (p.status == STATUS_UPDATED) & (w_clamped < PARTICLE_OCC_INIT_WEIGHT)
+
+    guessed_weight = jnp.sum(jnp.where(guessed, w_clamped, 0.0), axis=1)
+
+    # Per-(voxel, track) weight accumulation over the K slots (K is small and
+    # static, so the K^2 pairwise pass is a handful of fused elementwise ops).
+    contrib_mask = alive & ~gc
+    contrib = jnp.where(contrib_mask, w_clamped, 0.0)
+
+    track_sum = jnp.zeros((cfg.num_voxels, K), jnp.float32)
+    for j in range(K):
+        same = p.track == p.track[:, j : j + 1]
+        track_sum = track_sum + jnp.where(same, contrib[:, j : j + 1], 0.0)
+
+    # Argmax over slots by (track weight, then lowest track id), restricted to
+    # contributing slots with positive summed weight (max_weight starts at 0
+    # with a strict '>', operations.h:440-447).
+    big = jnp.int32(1 << 30)
+    cand_track = jnp.where(contrib_mask, p.track, big)
+    score_ok = contrib_mask & (track_sum > 0.0)
+
+    best_w = jnp.zeros(cfg.num_voxels, jnp.float32)
+    best_track = jnp.zeros(cfg.num_voxels, jnp.int32)
+    found = jnp.zeros(cfg.num_voxels, bool)
+    for j in range(K):
+        tsj = track_sum[:, j]
+        tj = cand_track[:, j]
+        okj = score_ok[:, j]
+        better = okj & (
+            ~found | (tsj > best_w) | ((tsj == best_w) & (tj < best_track))
+        )
+        best_w = jnp.where(better, tsj, best_w)
+        best_track = jnp.where(better, tj, best_track)
+        found = found | okj
+
+    # Label of the winning track = label of the highest-index contributing
+    # slot carrying that track (last writer wins in the reference's map,
+    # operations.h:435).
+    best_label = jnp.zeros(cfg.num_voxels, jnp.int32)
+    for j in range(K):
+        match = contrib_mask[:, j] & (p.track[:, j] == best_track)
+        best_label = jnp.where(match, p.label[:, j], best_label)
+
+    best_track = jnp.where(found, best_track, 0)
+    best_label = jnp.where(found, best_label, 0)
+
+    weight_sum = jnp.where(vvalid, weight_sum, -1.0)
+    guessed_weight = jnp.where(vvalid, guessed_weight, 0.0)
+    best_track = jnp.where(vvalid, best_track, 0)
+    best_label = jnp.where(vvalid, best_label, 0)
+
+    occ = jnp.where(
+        weight_sum > occupancy_threshold,
+        1,
+        jnp.where(
+            weight_sum < 0,
+            -1,
+            jnp.where(guessed_weight >= PARTICLE_OCC_INIT_WEIGHT, 2, 0),
+        ),
+    ).astype(jnp.int32)
+
+    voxel_pos = codecs.voxel_to_global_pos(
+        cfg, state.scroll, jnp.arange(cfg.num_voxels, dtype=jnp.int32)
+    )
+
+    # Side effects: clamp stored weights, GC feeble UPDATED particles — but
+    # only in *valid* voxels: the reference's reduction early-returns before
+    # touching particles when the voxel is invalid (operations.h:401-407).
+    touched = alive & vvalid[:, None]
+    new_weight = jnp.where(touched, w_clamped, w)
+    new_status = jnp.where(gc & vvalid[:, None], STATUS_INVALID, p.status)
+    particles = p.replace(weight=new_weight, status=new_status)
+
+    return particles, RenderResult(
+        occ=occ,
+        label=best_label,
+        track=best_track,
+        weight_sum=weight_sum,
+        voxel_pos=voxel_pos,
+    )
