@@ -169,10 +169,17 @@ class MapConfig:
     #: Max visible (projected, unoccluded) particles processed per frame.
     max_visible_particles: int = 1 << 20
 
+    #: Per-pixel particle-table slots for the PHD stencil (the reference's
+    #: pyramid lists are unbounded; overflow drops the lightest particles for
+    #: one frame — see ops/phd.py docstring).
+    phd_pixel_table_slots: int = 12
+
     #: Max per-frame newborn candidates actually considered is
     #: H*W*nb_ptc_num_per_point (dense, no cap needed); this caps the number
     #: of *moving-object* particles gathered for rigid moves per frame.
-    max_moving_particles: int = 1 << 18
+    #: Kept modest: the per-candidate compaction gathers run at TPU scalar
+    #: rate, and a frame rarely moves more than a few cars' particles.
+    max_moving_particles: int = 1 << 16
 
     #: Object table capacity (the reference uses unbounded hash maps over
     #: tens of objects; object_layer.h:345-373).

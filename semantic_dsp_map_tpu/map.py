@@ -68,16 +68,8 @@ def _move_and_cleanup(
         current/predicted transform with preset-sigma Gaussian jitter, then
         re-inserted in one batch (:672-693; operations.h:321-362).
     """
-    table = track_lookup_table(objects)
     vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
     alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis)
-
-    track_c = jnp.clip(particles.track, 0, 65535)
-    obj_of = table[track_c]
-    movable = (particles.track >= 0) & (particles.track <= max_movable)
-    floating = movable & alive & (obj_of < 0)
-    status = jnp.where(floating, STATUS_INVALID, particles.status)
-    alive = alive & ~floating
 
     mv_obj = objects.valid & objects.has_moved_record & objects.moving & objects.has_tmatrix
     if params.if_use_template_matching:
@@ -85,39 +77,64 @@ def _move_and_cleanup(
         # matching path re-seeds their particles separately
         # (semantic_dsp_map.h:616-669).
         mv_obj = mv_obj & ~objects.to_match_previous
-    obj_safe = jnp.maximum(obj_of, 0)
-    move_p = alive & (obj_of >= 0) & mv_obj[obj_safe]
+
+    # Per-particle ownership / moving masks via a fori over the (small)
+    # object table rather than a [V, K]-wide track-id table gather: TPU
+    # gathers run at scalar rate, dense compares at vector rate.
+    O = objects.valid.shape[0]
+
+    def owner_body(o, carry):
+        owned, moving_mask = carry
+        eq = particles.track == objects.track_id[o]
+        owned = owned | (eq & objects.valid[o])
+        moving_mask = moving_mask | (eq & (objects.valid[o] & mv_obj[o]))
+        return owned, moving_mask
+
+    zero = jnp.zeros(particles.track.shape, bool)
+    owned, moving_mask = jax.lax.fori_loop(0, O, owner_body, (zero, zero))
+
+    movable = (particles.track >= 0) & (particles.track <= max_movable)
+    floating = movable & alive & ~owned
+    status = jnp.where(floating, STATUS_INVALID, particles.status)
+    alive = alive & ~floating
+
+    move_p = alive & moving_mask
 
     M = cfg.max_moving_particles
-    (sel,) = jnp.nonzero(move_p.reshape(-1), size=M, fill_value=-1)
-    ok = sel >= 0
-    gi = jnp.maximum(sel, 0)
+    mv, mk = jnp.nonzero(move_p, size=M, fill_value=-1)
+    ok = mv >= 0
+    gv = jnp.maximum(mv, 0)
+    gk = jnp.maximum(mk, 0)
 
-    pos = particles.pos.reshape(-1, 3)[gi]
-    po = jnp.maximum(obj_of.reshape(-1)[gi], 0)
+    pos = jnp.stack(
+        [particles.pos[0][gv, gk], particles.pos[1][gv, gk], particles.pos[2][gv, gk]],
+        axis=-1,
+    )
+    # Object row per moving particle: a [M]-sized gather from the small
+    # track-id table (M << V*K).
+    table = track_lookup_table(objects)
+    track_e = jnp.clip(particles.track[gv, gk], 0, 65535)
+    po = jnp.maximum(table[track_e], 0)
     T = objects.tmatrix[po]
     noise = jax.random.normal(rng, (M, 3), jnp.float32) * params.prediction_stddev
     new_pos = jnp.einsum("nij,nj->ni", T[:, :3, :3], pos) + T[:, :3, 3] + noise
 
     cand = Candidates(
         pos=new_pos,
-        weight=particles.weight.reshape(-1)[gi],
-        label=particles.label.reshape(-1)[gi],
-        track=particles.track.reshape(-1)[gi],
-        status=particles.status.reshape(-1)[gi],
-        stamp=particles.stamp.reshape(-1)[gi],
-        forget=particles.forget.reshape(-1)[gi],
+        weight=particles.weight[gv, gk],
+        label=particles.label[gv, gk],
+        track=particles.track[gv, gk],
+        status=particles.status[gv, gk],
+        stamp=particles.stamp[gv, gk],
+        forget=particles.forget[gv, gk],
         priority=jnp.arange(M, dtype=jnp.int32),
         valid=ok,
     )
 
     # Delete sources first (the batched move copies-then-deletes-then-readds,
     # operations.h:330-361).
-    shape = particles.status.shape
-    total = particles.status.size
-    status = status.reshape(-1).at[jnp.where(ok, sel, total)].set(
-        STATUS_INVALID, mode="drop"
-    ).reshape(shape)
+    V = particles.status.shape[0]
+    status = status.at[jnp.where(ok, mv, V), gk].set(STATUS_INVALID, mode="drop")
     particles = particles.replace(status=status)
 
     particles, accepted, _ = insert_particles(cfg, particles, scroll, cand)
@@ -125,9 +142,20 @@ def _move_and_cleanup(
     return particles, moved
 
 
-def build_frame_step(cfg: MapConfig, params: FilterParams, registry: LabelRegistry):
+def build_frame_step(
+    cfg: MapConfig,
+    params: FilterParams,
+    registry: LabelRegistry,
+    split_render: bool = False,
+):
     """Returns the jitted per-frame update: (MapState, FrameInput) ->
-    (MapState, RenderResult, StepDiagnostics)."""
+    (MapState, RenderResult, StepDiagnostics).
+
+    With ``split_render=True`` returns (core, render) jitted separately:
+    core: (MapState, FrameInput) -> (MapState, LabeledCloud, StepDiagnostics)
+    render: MapState -> (MapState, RenderResult).  The split exists for the
+    template-matching path, which injects host-orchestrated work between
+    birth and render (semantic_dsp_map.h:806-894)."""
 
     max_movable = registry.max_movable_instance_id
     sky_label = registry.label_to_id.get("Sky", registry.label_to_id.get("sky", -1))
@@ -137,7 +165,7 @@ def build_frame_step(cfg: MapConfig, params: FilterParams, registry: LabelRegist
     use_sky_cull = cfg.keypoint_mode == KEYPOINTS_BBOX3D  # ZED2-only, pointcloud_tools.h:234-241
     use_bbox_gate = cfg.keypoint_mode == KEYPOINTS_BBOX3D
 
-    def step(state: MapState, f: FrameInput):
+    def core(state: MapState, f: FrameInput):
         gt = state.global_time + 1
         rng, k_obj, k_move, k_birth = jax.random.split(state.rng, 4)
         r_wc, t_wc, r_cw, t_cw = camera_matrices(f.cam_pos, f.cam_quat)
@@ -196,15 +224,27 @@ def build_frame_step(cfg: MapConfig, params: FilterParams, registry: LabelRegist
             rng=rng,
         )
 
-        # 7. Occupancy render (with its in-reduction GC side effects).
-        particles, result = render_occupancy(cfg, state, params.occupancy_threshold)
-        state = state.replace(particles=particles)
-
         diag = StepDiagnostics(
             visible_count=vis.count,
             born_count=jnp.sum(accepted.astype(jnp.int32)),
             moved_count=moved,
         )
+        return state, cloud, diag
+
+    def render(state: MapState):
+        # 7. Occupancy render (with its in-reduction GC side effects).
+        particles, result = render_occupancy(cfg, state, params.occupancy_threshold)
+        return state.replace(particles=particles), result
+
+    if split_render:
+        return (
+            jax.jit(core, donate_argnums=0),
+            jax.jit(render, donate_argnums=0),
+        )
+
+    def step(state: MapState, f: FrameInput):
+        state, _cloud, diag = core(state, f)
+        state, result = render(state)
         return state, result, diag
 
     return jax.jit(step, donate_argnums=0)
@@ -232,17 +272,44 @@ class SemanticDSPMap:
         self.params = params or FilterParams()
         self.registry = registry or LabelRegistry.default()
         self.state = init_map_state(cfg, seed)
-        self._step = build_frame_step(cfg, self.params, self.registry)
         self._time_origin: Optional[float] = None
+        self._templates = None
+        if self.params.if_use_template_matching:
+            # Template matching injects host-orchestrated work between birth
+            # and render (semantic_dsp_map.h:806-894), so the step is built
+            # as (core, render) with the template stage in between.
+            from .template_engine import TemplateEngine
+
+            self._core, self._render = build_frame_step(
+                cfg, self.params, self.registry, split_render=True
+            )
+            self._templates = TemplateEngine(cfg, self.params, self.registry)
+            self._step = None
+        else:
+            self._step = build_frame_step(cfg, self.params, self.registry)
 
     # ------------------------------------------------------------------
+    def set_template_path(self, folder: str) -> int:
+        """setTemplatePath (semantic_dsp_map.h:163-166): load the CAD
+        template bank (.pcd files grouped by label-id directory)."""
+        if self._templates is None:
+            raise ValueError(
+                "set_template_path requires FilterParams(if_use_template_matching=True)"
+            )
+        return self._templates.set_template_path(folder)
+
     def clear(self):
         """semantic_dsp_map.h:74-81."""
         self.state = clear_map_state(self.state, self.cfg)
 
     def update_from_frame(self, frame: FrameInput):
         """Run one frame from pre-built arrays; returns (RenderResult, diag)."""
-        self.state, result, diag = self._step(self.state, frame)
+        if self._step is not None:
+            self.state, result, diag = self._step(self.state, frame)
+            return result, diag
+        state, cloud, diag = self._core(self.state, frame)
+        state = self._templates.run(state, cloud, frame.cam_pos)
+        self.state, result = self._render(state)
         return result, diag
 
     def update(

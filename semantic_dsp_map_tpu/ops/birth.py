@@ -158,14 +158,21 @@ def insert_particles(
     order; the rest are dropped — the batched equivalent of the serial
     addParticleByGlobalPos loop (operations.h:782-803).
 
+    TPU shape: candidates are sorted by (voxel, priority), ranked within
+    their voxel, scattered into a per-voxel staging buffer [V, K] with
+    unique (voxel, rank) targets, and the staging buffer is merged into the
+    vacant slots with K x K dense select passes — no per-candidate gathers
+    of [V, K] rows (TPU gathers run at scalar rate).
+
     Returns (particles', accepted bool[N], target_voxel i32[N]).
     """
     K = cfg.slots_per_voxel
     N = cand.pos.shape[0]
+    V = cfg.num_voxels
 
     vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
     valid = cand.valid & in_map
-    vox = jnp.where(valid, vox, cfg.num_voxels)  # padding group at the end
+    vox = jnp.where(valid, vox, V)  # padding group at the end
 
     vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, scroll)
     alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis_stamp)
@@ -182,37 +189,83 @@ def insert_particles(
     sv = vox[order]
 
     rank = _group_rank(sv, N)
-    sv_safe = jnp.minimum(sv, cfg.num_voxels - 1)
-    accepted_sorted = (sv < cfg.num_voxels) & (rank < vacancy_count[sv_safe])
+    sv_safe = jnp.minimum(sv, V - 1)
 
-    # Map each accepted candidate's within-voxel rank to the concrete slot.
-    vr = vacant_rank[sv_safe]          # i32[N, K]
-    va = vacant[sv_safe]               # bool[N, K]
-    slot_match = va & (vr == rank[:, None])
-    slot = jnp.argmax(slot_match, axis=1).astype(jnp.int32)
-    accepted_sorted &= jnp.any(slot_match, axis=1)
-
-    # Out-of-bounds positive drop sentinel (negatives wrap in scatters).
-    flat_idx = jnp.where(accepted_sorted, sv_safe * K + slot, cfg.num_voxels * K)
-
-    def scat(dense, values):
-        shape = dense.shape
-        flat = dense.reshape(-1, *shape[2:])
-        flat = flat.at[flat_idx].set(values, mode="drop")
-        return flat.reshape(shape)
-
+    # Stage the first K candidates of each voxel: unique (voxel, rank)
+    # scatter.  Fields are packed to keep the scatter count low:
+    # meta = forget(3b) | status(3b) | label(8b) | track(16b).
     g = lambda a: a[order]
-    new = particles.replace(
-        pos=scat(particles.pos, g(cand.pos)),
-        weight=scat(particles.weight, g(cand.weight)),
-        label=scat(particles.label, g(cand.label)),
-        track=scat(particles.track, g(cand.track)),
-        status=scat(particles.status, g(cand.status)),
-        stamp=scat(particles.stamp, g(cand.stamp)),
-        forget=scat(particles.forget, g(cand.forget)),
+    stage_ok = (sv < V) & (rank < K)
+    tv = jnp.where(stage_ok, sv, V)
+    tr = jnp.clip(rank, 0, K - 1)
+
+    meta = (
+        (g(cand.forget) << 27)
+        | (g(cand.status) << 24)
+        | (g(cand.label) << 16)
+        | g(cand.track)
     )
 
-    # Un-sort the accepted mask back to candidate order.
+    def stage(fill, vals, dtype):
+        base = jnp.full((V, K), fill, dtype)
+        return base.at[tv, tr].set(vals.astype(dtype), mode="drop", unique_indices=True)
+
+    cpos = g(cand.pos)
+    in_px = stage(0.0, cpos[:, 0], jnp.float32)
+    in_py = stage(0.0, cpos[:, 1], jnp.float32)
+    in_pz = stage(0.0, cpos[:, 2], jnp.float32)
+    in_w = stage(0.0, g(cand.weight), jnp.float32)
+    in_stamp = stage(0, g(cand.stamp), jnp.int32)
+    in_meta = stage(-1, meta, jnp.int32)  # -1 = no candidate staged
+
+    # Dense merge: vacant slot s (vacant-rank r) takes staged candidate r.
+    pos = particles.pos
+    weight, label, track = particles.weight, particles.label, particles.track
+    status, stamp, forget = particles.status, particles.stamp, particles.forget
+
+    new_cols = {"weight": [], "label": [], "track": [], "status": [],
+                "stamp": [], "forget": [], "px": [], "py": [], "pz": []}
+    for s in range(K):
+        vr_s = vacant_rank[:, s]
+        take = jnp.zeros(V, bool)
+        c_px = jnp.zeros(V, jnp.float32)
+        c_py = jnp.zeros(V, jnp.float32)
+        c_pz = jnp.zeros(V, jnp.float32)
+        c_w = jnp.zeros(V, jnp.float32)
+        c_st = jnp.zeros(V, jnp.int32)
+        c_m = jnp.zeros(V, jnp.int32)
+        for c in range(K):
+            hit = vacant[:, s] & (vr_s == c) & (in_meta[:, c] >= 0)
+            take = take | hit
+            c_px = jnp.where(hit, in_px[:, c], c_px)
+            c_py = jnp.where(hit, in_py[:, c], c_py)
+            c_pz = jnp.where(hit, in_pz[:, c], c_pz)
+            c_w = jnp.where(hit, in_w[:, c], c_w)
+            c_st = jnp.where(hit, in_stamp[:, c], c_st)
+            c_m = jnp.where(hit, in_meta[:, c], c_m)
+        new_cols["px"].append(jnp.where(take, c_px, pos[0, :, s]))
+        new_cols["py"].append(jnp.where(take, c_py, pos[1, :, s]))
+        new_cols["pz"].append(jnp.where(take, c_pz, pos[2, :, s]))
+        new_cols["weight"].append(jnp.where(take, c_w, weight[:, s]))
+        new_cols["stamp"].append(jnp.where(take, c_st, stamp[:, s]))
+        new_cols["track"].append(jnp.where(take, c_m & 0xFFFF, track[:, s]))
+        new_cols["label"].append(jnp.where(take, (c_m >> 16) & 0xFF, label[:, s]))
+        new_cols["status"].append(jnp.where(take, (c_m >> 24) & 0x7, status[:, s]))
+        new_cols["forget"].append(jnp.where(take, (c_m >> 27) & 0x7, forget[:, s]))
+
+    col = lambda k: jnp.stack(new_cols[k], axis=1)
+    new = particles.replace(
+        pos=jnp.stack([col("px"), col("py"), col("pz")], axis=0),
+        weight=col("weight"),
+        label=col("label"),
+        track=col("track"),
+        status=col("status"),
+        stamp=col("stamp"),
+        forget=col("forget"),
+    )
+
+    # Per-candidate accepted mask, back in candidate order.
+    accepted_sorted = stage_ok & (rank < vacancy_count[sv_safe])
     accepted = jnp.zeros(N, bool).at[order].set(accepted_sorted)
     return new, accepted, vox
 

@@ -60,6 +60,24 @@ def project_to_image(cfg: MapConfig, r_cw, t_cw, pos):
     return row, col, z, in_depth & in_image
 
 
+def project_to_image_xyz(cfg: MapConfig, r_cw, t_cw, x, y, z):
+    """project_to_image for component-separated coordinates (arrays of any
+    matching shape).  Keeps the xyz axis out of the array layout entirely —
+    see state.Particles.pos for why."""
+    cx = r_cw[0, 0] * x + r_cw[0, 1] * y + r_cw[0, 2] * z + t_cw[0]
+    cy = r_cw[1, 0] * x + r_cw[1, 1] * y + r_cw[1, 2] * z + t_cw[1]
+    cz = r_cw[2, 0] * x + r_cw[2, 1] * y + r_cw[2, 2] * z + t_cw[2]
+    in_depth = (cz >= cfg.depth_range_min) & (cz <= cfg.depth_range_max)
+
+    zsafe = jnp.where(cz == 0, 1e-6, cz)
+    u = cfg.fx * cx / zsafe + cfg.cx
+    v = cfg.fy * cy / zsafe + cfg.cy
+    col = u.astype(jnp.int32)
+    row = v.astype(jnp.int32)
+    in_image = (row >= 0) & (row < cfg.height) & (col >= 0) & (col < cfg.width)
+    return row, col, cz, in_depth & in_image
+
+
 def point_in_frustum(cfg: MapConfig, r_cw, t_cw, pos):
     """isPointInFrustum (operations.h:1240-1258): depth range + symmetric
     half-FOV tangent test."""

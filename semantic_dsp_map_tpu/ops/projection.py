@@ -26,7 +26,7 @@ from ..config import FilterParams, MapConfig, PARTICLE_OCC_INIT_WEIGHT
 from ..labels import BACKGROUND_INSTANCE_ID
 from ..state import MapState, Particles, STATUS_INVALID
 from . import codecs
-from .geometry import project_to_image
+from .geometry import project_to_image, project_to_image_xyz
 
 
 class LabeledCloud(NamedTuple):
@@ -123,17 +123,24 @@ def generate_labeled_cloud(
 
 
 class VisibleSet(NamedTuple):
-    """Compacted visible-particle buffer (replaces the pixel pyramid maps,
-    buffer.h:89-93).  Entries beyond ``count`` are padding with idx == -1."""
+    """Compacted candidate-particle buffer (replaces the pixel pyramid maps,
+    buffer.h:89-93).  Entries beyond the real count are padding with
+    vox == -1; particles are addressed by their 2-D (voxel, slot) coordinates
+    so scatters back into the [V, K] arrays never need a flat relayout.
+    ``visible`` distinguishes truly visible entries (in the reference's
+    pyramid) from far-free/occluded candidates that were compacted only for
+    their side effects."""
 
-    idx: jax.Array     # i32[P] flat index into the [V*K] particle slots, -1 pad
-    row: jax.Array     # i32[P]
-    col: jax.Array     # i32[P]
-    pos: jax.Array     # f32[P, 3]
-    weight: jax.Array  # f32[P]
-    track: jax.Array   # i32[P]
-    forget: jax.Array  # i32[P]
-    count: jax.Array   # i32 scalar, number of real entries
+    vox: jax.Array      # i32[P] voxel index, -1 pad
+    slot: jax.Array     # i32[P] slot index within the voxel
+    row: jax.Array      # i32[P]
+    col: jax.Array      # i32[P]
+    pos: jax.Array      # f32[P, 3]
+    weight: jax.Array   # f32[P]
+    track: jax.Array    # i32[P]
+    forget: jax.Array   # i32[P]
+    visible: jax.Array  # bool[P] in-pyramid (unoccluded, not far-free)
+    count: jax.Array    # i32 scalar, number of visible entries
 
 
 @partial(jax.jit, static_argnums=0)
@@ -172,24 +179,56 @@ def visibility_pass(
     # Prune stale-but-flagged slots.
     status = jnp.where(alive, p.status, STATUS_INVALID)
 
-    row, col, cam_z, proj_ok = project_to_image(cfg, r_cw, t_cw, p.pos)
-    proj_ok &= alive
+    # Dense projection of every slot.  NOTE: no depth lookups here — a
+    # [V, K]-wide gather runs at ~10-30 ns/element on TPU (scalar rate);
+    # all pixel-dependent tests happen on the compacted [P] buffer below.
+    row, col, cam_z, proj_ok = project_to_image_xyz(
+        cfg, r_cw, t_cw, p.pos[0], p.pos[1], p.pos[2]
+    )
+    cand = proj_ok & alive
 
-    rs = jnp.clip(row, 0, cfg.height - 1)
-    cs = jnp.clip(col, 0, cfg.width - 1)
+    # Pack (track, forget) so the compaction needs one gather, not two.
+    packed_tf = (p.track << 8) | (p.forget & 0xFF)
+
+    P = cfg.max_visible_particles
+    vi, ki = jnp.nonzero(cand, size=P, fill_value=-1)
+    ok = vi >= 0
+    vs = jnp.maximum(vi, 0)
+    ks = jnp.maximum(ki, 0)
+
+    px = p.pos[0][vs, ks]
+    py = p.pos[1][vs, ks]
+    pz = p.pos[2][vs, ks]
+    w_e = p.weight[vs, ks]
+    tf_e = packed_tf[vs, ks]
+
+    # Recompute pixel coords / camera depth from the gathered positions (the
+    # identical arithmetic on identical f32 inputs gives identical results).
+    row_e, col_e, camz_e, _ = project_to_image_xyz(cfg, r_cw, t_cw, px, py, pz)
+    rs = jnp.clip(row_e, 0, cfg.height - 1)
+    cs = jnp.clip(col_e, 0, cfg.width - 1)
     depth_at = depth[rs, cs]
 
-    far_free = proj_ok & (depth_at > cfg.depth_range_max)
+    far_free = ok & (depth_at > cfg.depth_range_max)
     one_sigma = 1.0 + cfg.depth_error_stddev_at_one_meter
-    occluded = proj_ok & ~far_free & (cam_z > depth_at * one_sigma)
-    visible = proj_ok & ~far_free & ~occluded
+    occluded = ok & ~far_free & (camz_e > depth_at * one_sigma)
+    visible = ok & ~far_free & ~occluded
 
-    weight = jnp.where(far_free, PARTICLE_OCC_INIT_WEIGHT, p.weight)
+    # Far-depth free-space reset (operations.h:1389-1395): weight -> newborn
+    # weight; (voxel, slot) targets are unique.
+    weight = p.weight.at[jnp.where(far_free, vi, V), ks].set(
+        PARTICLE_OCC_INIT_WEIGHT, mode="drop", unique_indices=True
+    )
 
-    # Voxel stamp refresh.
-    observed_voxel = jnp.any(visible | far_free, axis=1)
+    # Voxel stamp refresh (operations.h:1414-1431): a voxel is observed when
+    # any of its particles is visible or far-free...
+    observed_voxel = jnp.zeros(V, bool).at[
+        jnp.where(visible | far_free, vi, V)
+    ].set(True, mode="drop")
     has_alive = jnp.any(alive, axis=1)
 
+    # ...or when it has no live particles but its corner point projects in
+    # front of the measured surface (the "imaginary particle" rule).
     corner = codecs.voxel_to_global_pos(
         cfg, state.scroll, jnp.arange(V, dtype=jnp.int32)
     )
@@ -200,22 +239,18 @@ def visibility_pass(
     stamp_now = observed_voxel | (~has_alive & center_observed)
     voxel_stamp = jnp.where(stamp_now, state.global_time, state.voxel_stamp)
 
-    # Compact the visible set to a fixed-size buffer.
-    P = cfg.max_visible_particles
-    flat_visible = visible.reshape(-1)
-    (sel,) = jnp.nonzero(flat_visible, size=P, fill_value=-1)
-    ok = sel >= 0
-    gi = jnp.maximum(sel, 0)
-
+    vpos = jnp.stack([px, py, pz], axis=-1)
     vis = VisibleSet(
-        idx=jnp.where(ok, sel, -1),
-        row=jnp.where(ok, row.reshape(-1)[gi], 0),
-        col=jnp.where(ok, col.reshape(-1)[gi], 0),
-        pos=jnp.where(ok[:, None], p.pos.reshape(-1, 3)[gi], 0.0),
-        weight=jnp.where(ok, weight.reshape(-1)[gi], 0.0),
-        track=jnp.where(ok, p.track.reshape(-1)[gi], -1),
-        forget=jnp.where(ok, p.forget.reshape(-1)[gi], 0),
-        count=jnp.sum(flat_visible.astype(jnp.int32)),
+        vox=jnp.where(ok, vi, -1),
+        slot=jnp.where(ok, ki, 0),
+        row=jnp.where(ok, row_e, 0),
+        col=jnp.where(ok, col_e, 0),
+        pos=jnp.where(ok[:, None], vpos, 0.0),
+        weight=jnp.where(ok, w_e, 0.0),
+        track=jnp.where(ok, tf_e >> 8, -1),
+        forget=jnp.where(ok, tf_e & 0xFF, 0),
+        visible=visible,
+        count=jnp.sum(visible.astype(jnp.int32)),
     )
 
     particles = p.replace(status=status, weight=weight)

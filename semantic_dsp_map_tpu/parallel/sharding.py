@@ -40,14 +40,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "grid") -> Mesh:
 
 
 def _shard_rule(cfg: MapConfig, mesh: Mesh, leaf: jax.ShapeDtypeStruct):
+    """Shard the voxel dimension wherever it appears (dim 0 for most particle
+    arrays / voxel_stamp; dim 1 for the [3, V, K] position array)."""
     axis = mesh.axis_names[0]
     shape = getattr(leaf, "shape", ())
-    if (
-        len(shape) >= 1
-        and shape[0] == cfg.num_voxels
-        and shape[0] % mesh.devices.size == 0
-    ):
-        return NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+    for d, size in enumerate(shape):
+        if size == cfg.num_voxels and size % mesh.devices.size == 0:
+            spec = [None] * len(shape)
+            spec[d] = axis
+            return NamedSharding(mesh, P(*spec))
     return NamedSharding(mesh, P())
 
 

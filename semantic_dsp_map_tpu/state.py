@@ -32,9 +32,16 @@ STATUS_COPIED = 4
 
 @struct.dataclass
 class Particles:
-    """SoA particle storage, shape [V, K] (V voxels, K slots/voxel)."""
+    """SoA particle storage, shape [V, K] (V voxels, K slots/voxel).
 
-    pos: jax.Array      # f32[V, K, 3] global-frame position
+    ``pos`` carries its xyz components on the LEADING axis ([3, V, K], not
+    [V, K, 3]): a minor-most axis of extent 3 forces XLA's TPU layout
+    assignment to pad it to the 128-lane tile inside gather/scatter relayouts
+    (observed: a 672 MB position array copied into a 12 GB padded temp),
+    while a leading 3 leaves the (V, K) tiling untouched.
+    """
+
+    pos: jax.Array      # f32[3, V, K] global-frame position (xyz leading!)
     weight: jax.Array   # f32[V, K]
     label: jax.Array    # i32[V, K] semantic label id
     track: jax.Array    # i32[V, K] instance / track id
@@ -118,7 +125,7 @@ class MapState:
 def init_particles(cfg: MapConfig) -> Particles:
     V, K = cfg.num_voxels, cfg.slots_per_voxel
     return Particles(
-        pos=jnp.zeros((V, K, 3), jnp.float32),
+        pos=jnp.zeros((3, V, K), jnp.float32),
         weight=jnp.zeros((V, K), jnp.float32),
         label=jnp.zeros((V, K), jnp.int32),
         track=jnp.zeros((V, K), jnp.int32),

@@ -1,0 +1,254 @@
+"""Template-matching frame stage (flag ``if_use_template_matching``).
+
+Orchestrates the two template paths of the reference frame kernel:
+
+  1. **Rematch** (semantic_dsp_map.h:616-669): objects flagged
+     ``to_match_with_previous`` get their particles re-aligned to the observed
+     object cloud (alignPointCloudToSource = center + non-FS PHD sweep); on a
+     good match the old particles are deleted and the aligned cloud re-added
+     at weight 0.2 (operations.h:125-146).
+  2. **Template birth** (semantic_dsp_map.h:806-894): newly-observed Cars with
+     1500..8000 observed points and a >=1 m bbox are matched against the CAD
+     template bank (FS-considered sweep, best template wins); on a good match,
+     3 noise-jittered GUESSED_BORN particles are added per template point.
+
+The per-hypothesis sweep is one jitted program (ops.templates.template_match);
+the orchestration below is host-side because the eligible-object count is
+O(1) per frame and data-dependent.  Sequencing note: the reference runs the
+rematch inside the prediction phase (before the PHD update); here it runs
+after the main jitted step, so re-matched particles first participate in the
+filter on the following frame.  The template-birth placement (after birth,
+before render) matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FilterParams, MapConfig, PARTICLE_OCC_INIT_WEIGHT
+from .labels import LabelRegistry
+from .ops.birth import Candidates, insert_particles
+from .ops import codecs
+from .ops.templates import (
+    GUESSED_BIRTH_COPIES,
+    GUESSED_BIRTH_NOISE,
+    MATCHED_WEIGHT,
+    MatchGridConfig,
+    TM_MIN_BBOX_XY,
+    TM_MIN_POINTS,
+    TM_MAX_POINTS,
+    REMATCH_MIN_POINTS,
+    TemplateBank,
+    template_match,
+)
+from .state import MapState, STATUS_GUESSED_BORN, STATUS_INVALID
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _extract_track_points(cfg: MapConfig, n_max: int, cloud_pos, cloud_track, cloud_valid, tid):
+    """Compact the labeled-cloud points of one track id into a fixed buffer.
+
+    The reference gathers mask pixels without checking point validity
+    (semantic_dsp_map.h:625-638 takes every mask pixel's labeled point);
+    we keep only valid points — strictly less noise fed to the matcher.
+    Returns (pts f32[n_max, 3], valid bool[n_max], count i32).
+    """
+    m = (cloud_track == tid) & cloud_valid
+    flat = m.reshape(-1)
+    (sel,) = jnp.nonzero(flat, size=n_max, fill_value=-1)
+    ok = sel >= 0
+    pts = cloud_pos.reshape(-1, 3)[jnp.maximum(sel, 0)]
+    pts = jnp.where(ok[:, None], pts, 0.0)
+    return pts, ok, jnp.sum(flat.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _extract_particle_points(cfg: MapConfig, n_max: int, state: MapState, tid, weight_threshold):
+    """getParticlesAsPointCloud (operations.h:242-255) for one track id:
+    alive particles with weight > threshold."""
+    p = state.particles
+    vox_axis = codecs.axis_stamps_per_voxel(cfg, state.scroll)
+    alive = codecs.particle_alive(p.status, p.stamp, vox_axis)
+    m = alive & (p.track == tid) & (p.weight > weight_threshold)
+    vi, ki = jnp.nonzero(m, size=n_max, fill_value=-1)
+    ok = vi >= 0
+    gv, gk = jnp.maximum(vi, 0), jnp.maximum(ki, 0)
+    pts = jnp.stack(
+        [p.pos[0][gv, gk], p.pos[1][gv, gk], p.pos[2][gv, gk]], axis=-1
+    )
+    pts = jnp.where(ok[:, None], pts, 0.0)
+    return pts, ok, jnp.sum(m.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _delete_track_particles(cfg: MapConfig, state: MapState, tid):
+    """deleteParticlesInSet over an object's particle set
+    (semantic_dsp_map.h:659, operations.h:216-224): every slot carrying the
+    track id is invalidated (the hash-map index is the track predicate here,
+    see state.py docstring)."""
+    p = state.particles
+    status = jnp.where(p.track == tid, STATUS_INVALID, p.status)
+    return state.replace(particles=p.replace(status=status))
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
+def _insert_cloud(cfg: MapConfig, n_pts: int, state: MapState, pts, valid, weight, label, tid):
+    """Insert a matched/guessed cloud as GUESSED_BORN particles at a fixed
+    weight (addMatchedParticles operations.h:125-146 / addGuessedParticles
+    operations.h:192-205)."""
+    n = pts.shape[0]
+    cand = Candidates(
+        pos=pts,
+        weight=jnp.full(n, weight, jnp.float32),
+        label=jnp.full(n, label, jnp.int32),
+        track=jnp.full(n, tid, jnp.int32),
+        status=jnp.full(n, STATUS_GUESSED_BORN, jnp.int32),
+        stamp=jnp.full(n, 1, jnp.int32) * state.global_time,
+        forget=jnp.zeros(n, jnp.int32),
+        priority=jnp.arange(n, dtype=jnp.int32),
+        valid=valid,
+    )
+    particles, accepted, _ = insert_particles(cfg, state.particles, state.scroll, cand)
+    return state.replace(particles=particles), jnp.sum(accepted.astype(jnp.int32))
+
+
+class TemplateEngine:
+    """Per-frame template-matching stage over a :class:`TemplateBank`."""
+
+    def __init__(
+        self,
+        cfg: MapConfig,
+        params: FilterParams,
+        registry: LabelRegistry,
+        bank: Optional[TemplateBank] = None,
+        grid: Optional[MatchGridConfig] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.registry = registry
+        self.grid = grid or MatchGridConfig()
+        self.bank = bank
+        self.car_label = registry.label_to_id.get("Car", -1)
+        self._rng = np.random.RandomState(0)
+
+    def set_template_path(self, folder: str) -> int:
+        """setTemplatePath (semantic_dsp_map.h:163-166)."""
+        self.bank = TemplateBank.from_folder(folder, self.grid)
+        return int(self.bank.label.size)
+
+    # ------------------------------------------------------------------
+    def run(self, state: MapState, cloud, cam_pos: np.ndarray):
+        """Apply both template paths; returns the new state.
+
+        ``cloud`` is the frame's LabeledCloud (device arrays); ``state`` is
+        the post-birth MapState.
+        """
+        obj = state.objects
+        valid = np.asarray(obj.valid)
+        if not valid.any():
+            return state
+
+        tracks = np.asarray(obj.track_id)
+        labels = np.asarray(obj.label)
+        moving = np.asarray(obj.moving)
+        has_rec = np.asarray(obj.has_moved_record)
+        rematch_flags = np.asarray(obj.to_match_previous)
+        tmpl_flags = np.asarray(obj.to_match_templates)
+        cam_pos = np.asarray(cam_pos, np.float32)
+
+        g = self.grid
+        new_tmpl_flags = tmpl_flags.copy()
+
+        for row in np.nonzero(valid)[0]:
+            tid = int(tracks[row])
+            label = int(labels[row])
+
+            # ---- rematch path (semantic_dsp_map.h:616-669) -------------
+            if rematch_flags[row] and moving[row] and has_rec[row]:
+                pts, ok, count = _extract_track_points(
+                    self.cfg, g.max_source_points, cloud.pos, cloud.track,
+                    cloud.valid, tid,
+                )
+                if int(count) >= REMATCH_MIN_POINTS:
+                    ppts, pok, pcount = _extract_particle_points(
+                        self.cfg, g.max_template_points, state, tid,
+                        jnp.float32(0.1),
+                    )
+                    if int(pcount) > 0:
+                        # alignPointCloudToXYZCenter on the particle cloud
+                        # (pointcloud_tools.h:320).
+                        ppts_np = np.asarray(ppts)
+                        pok_np = np.asarray(pok)
+                        live = ppts_np[pok_np]
+                        c = (live.min(0) + live.max(0)) * 0.5
+                        ppts = jnp.asarray(
+                            np.where(pok_np[:, None], ppts_np - c, 0.0), jnp.float32
+                        )
+                        res = template_match(
+                            g, False, pts, ok, jnp.asarray(cam_pos), ppts, pok
+                        )
+                        if float(res.score) > self.params.match_score_threshold:
+                            state = _delete_track_particles(self.cfg, state, tid)
+                            state, _n = _insert_cloud(
+                                self.cfg, g.max_template_points, state,
+                                res.aligned, pok, MATCHED_WEIGHT, label, tid,
+                            )
+
+            # ---- template birth (semantic_dsp_map.h:806-894) -----------
+            if (
+                self.bank is not None
+                and tmpl_flags[row]
+                and label == self.car_label
+            ):
+                pts, ok, count = _extract_track_points(
+                    self.cfg, g.max_source_points, cloud.pos, cloud.track,
+                    cloud.valid, tid,
+                )
+                n = int(count)
+                if not (TM_MIN_POINTS < n < TM_MAX_POINTS):
+                    continue
+                pts_np = np.asarray(pts)[np.asarray(ok)]
+                ext = pts_np.max(0) - pts_np.min(0)  # getBoundingBox extent
+                if ext[0] < TM_MIN_BBOX_XY or ext[1] < TM_MIN_BBOX_XY:
+                    continue
+
+                new_tmpl_flags[row] = False  # match once (":842")
+                tpls, tvalids = self.bank.of_label(label)
+                best_score, best_aligned, best_ok = -1.0, None, None
+                for t in range(tpls.shape[0]):
+                    res = template_match(
+                        g, True, pts, ok, jnp.asarray(cam_pos),
+                        jnp.asarray(tpls[t]), jnp.asarray(tvalids[t]),
+                    )
+                    s = float(res.score)
+                    if s > best_score:
+                        best_score = s
+                        best_aligned = np.asarray(res.aligned)
+                        best_ok = tvalids[t]
+
+                if best_aligned is None or best_score < self.params.match_score_threshold:
+                    new_tmpl_flags[row] = True  # retry next frame (":873-875")
+                    continue
+
+                # 3 jittered GUESSED_BORN copies per template point
+                # (semantic_dsp_map.h:878-891).
+                reps = np.repeat(best_aligned, GUESSED_BIRTH_COPIES, axis=0)
+                reps = reps + self._rng.randn(*reps.shape).astype(np.float32) * GUESSED_BIRTH_NOISE
+                rvalid = np.repeat(best_ok, GUESSED_BIRTH_COPIES)
+                state, _n = _insert_cloud(
+                    self.cfg, reps.shape[0], state, jnp.asarray(reps),
+                    jnp.asarray(rvalid), PARTICLE_OCC_INIT_WEIGHT, label, tid,
+                )
+
+        if not np.array_equal(new_tmpl_flags, tmpl_flags):
+            state = state.replace(
+                objects=state.objects.replace(
+                    to_match_templates=jnp.asarray(new_tmpl_flags)
+                )
+            )
+        return state

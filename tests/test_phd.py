@@ -133,9 +133,10 @@ def build_case(seed, params, independent=False):
 
     P = 64
     vis = VisibleSet(
-        idx=jnp.asarray(
+        vox=jnp.asarray(
             np.concatenate([np.arange(n_parts), -np.ones(P - n_parts)]).astype(np.int32)
         ),
+        slot=jnp.zeros(P, jnp.int32),
         row=jnp.asarray(np.array([p["row"] for p in parts] + [0] * (P - n_parts), np.int32)),
         col=jnp.asarray(np.array([p["col"] for p in parts] + [0] * (P - n_parts), np.int32)),
         pos=jnp.asarray(
@@ -144,6 +145,7 @@ def build_case(seed, params, independent=False):
         weight=jnp.asarray(np.array([p["weight"] for p in parts] + [0] * (P - n_parts), np.float32)),
         track=jnp.asarray(np.array([p["track"] for p in parts] + [-1] * (P - n_parts), np.int32)),
         forget=jnp.asarray(np.array([p["forget"] for p in parts] + [0] * (P - n_parts), np.int32)),
+        visible=jnp.asarray(np.arange(P) < n_parts),
         count=jnp.int32(n_parts),
     )
     cloud = LabeledCloud(
@@ -170,13 +172,14 @@ def _run(seed, params):
 
     particles = init_particles(cfg)
     new_p = phd_weight_update(cfg, params, vis, cloud, particles, jnp.int32(7))
-    flat_w = np.asarray(new_p.weight).reshape(-1)
-    flat_f = np.asarray(new_p.forget).reshape(-1)
-    flat_s = np.asarray(new_p.status).reshape(-1)
+    # Synthetic particle i lives at (voxel i, slot 0).
     n = len(parts)
-    np.testing.assert_allclose(flat_w[:n], w_oracle, rtol=3e-4, atol=1e-6)
-    np.testing.assert_array_equal(flat_f[:n], f_oracle)
-    assert (flat_s[:n] == STATUS_UPDATED).all()
+    got_w = np.asarray(new_p.weight)[:n, 0]
+    got_f = np.asarray(new_p.forget)[:n, 0]
+    got_s = np.asarray(new_p.status)[:n, 0]
+    np.testing.assert_allclose(got_w, w_oracle, rtol=3e-4, atol=1e-6)
+    np.testing.assert_array_equal(got_f, f_oracle)
+    assert (got_s == STATUS_UPDATED).all()
 
 
 def test_phd_joint_filter():
