@@ -267,7 +267,10 @@ def test_engine_smoke(tiny_map):
     )
 
     H, W = cfg.height, cfg.width
-    depth = np.full((H, W), 2.0, np.float32)
+    # Keep the wall inside the tiny map: the grid spans z in [-2, 2) m
+    # (2^4 voxels x 0.25 m centered on the ego), so depth 2.0 would land
+    # exactly on the boundary and be rejected (correctly) by the birth gate.
+    depth = np.full((H, W), 1.5, np.float32)
     static = np.full((H, W), 6, np.uint8)
     car = np.zeros((H, W), np.uint8)
     car[8:20, 8:28] = 1
