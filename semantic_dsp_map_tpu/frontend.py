@@ -5,9 +5,6 @@ This is the process boundary of the reference system: the ROS node converts
 and ``generateLabeledPointCloud`` fuses the masks into a per-pixel track-id
 raster (pointcloud_tools.h:116-215).  Here the fusion produces fixed-shape
 numpy arrays ready to ship to the device; everything downstream is jitted.
-
-A native C++ fast path for the rasterization / resize hot loops is used when
-the ``_native`` extension is built (see native/), with a numpy fallback.
 """
 
 from __future__ import annotations

@@ -43,6 +43,37 @@ _JET = _jet_table()
 _SHUF = _shuffled_256()
 
 
+def in_fov_mask(
+    cfg: MapConfig,
+    result: RenderResult,
+    cam_pos: np.ndarray,
+    cam_quat: np.ndarray,
+) -> np.ndarray:
+    """Per-voxel in-frustum mask for render dimming.
+
+    The reference dims occupied voxels outside the camera frustum
+    (semantic_dsp_map.h:1333-1351 via checkIfPointInFrustum ->
+    isPointInFrustum, operations.h:1240-1258: depth-range plus symmetric
+    half-FOV tangent test).  Host-side numpy mirror over all voxel positions.
+    """
+    w, x, y, z = [float(v) for v in np.asarray(cam_quat).reshape(4)]
+    r_wc = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    pos = np.asarray(result.voxel_pos, np.float32)
+    cam = (pos - np.asarray(cam_pos, np.float32).reshape(1, 3)) @ r_wc
+    cx, cy, cz = cam[:, 0], cam[:, 1], cam[:, 2]
+    ok = (cz >= cfg.depth_range_min) & (cz <= cfg.depth_range_max)
+    ok &= np.abs(cx) <= cz * cfg.tan_half_fov_x
+    ok &= np.abs(cy) <= cz * cfg.tan_half_fov_y
+    return ok
+
+
 def _rgb_dim(rgb: np.ndarray, factor: float) -> np.ndarray:
     """HSV value-channel dimming (semantic_dsp_map.h:1333-1351): V *= factor
     preserves hue/saturation, which equals scaling RGB uniformly."""
