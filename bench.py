@@ -1,113 +1,182 @@
-"""Benchmark: full-frame map update rate on the reference's VKITTI2 workload.
+"""Benchmark: full-frame map update rate on the reference's own headline
+workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference maps at ~10 Hz in its published configurations
-(docs/3dbbox_mode.md:118-127, docs/superpoint_mode.md:79-81; BASELINE.md).
+Headline metric: ZED2-mode mapping rate.  The reference's published 10 Hz
+number (BASELINE.md; docs/3dbbox_mode.md:118-127) is ZED2 mode: grid
+2^7 x 2^5 x 2^7 @ 0.15 m, 4 particles/voxel, BOOST half-res 640x360 input,
+runtime params from cfg/options_zed2.yaml (nb_ptc_num_per_point=1,
+detection_probability=0.8, noise_number=0.2, depth noise 0.3+0.02z — note
+both reference YAMLs set nb_ptc_num_per_point to 1, overriding the header
+default of 3 via the mapping.cpp:109-132 load path, so nb=1 IS the reference
+workload).  The synthetic scene has a ground plane, a wall, and a moving
+tracked object with 3D-bbox keypoints, with ego motion — every pipeline
+stage (object layer, scroll, rigid moves, PHD, birth, render) is exercised.
+
+Prints ONE JSON line; per-frame detail plus the VKITTI2-mode secondary run
+goes to BENCH_DETAILS.json (run with BENCH_FULL=1 to include VKITTI2).
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 
-def synth_frame(cfg, registry, t):
-    """Synthetic VKITTI2-like frame: ground plane + buildings + a moving car."""
+def synth_zed2_frame(cfg, t):
+    """ZED2-like frame at full sensor res (update() BOOST-resizes)."""
+    from semantic_dsp_map_tpu.frontend import MaskKpts
+
+    H, W = cfg.image_height, cfg.image_width
+    rng = np.random.RandomState(t)
+
+    v = np.arange(H, dtype=np.float32)[:, None]
+    depth = np.full((H, W), 9.0, np.float32)
+    ground = cfg.camera_fy * 1.2 / np.maximum(v - cfg.camera_cy, 1e-3)
+    depth = np.minimum(depth, np.where(v > cfg.camera_cy, ground, depth))
+    depth += rng.randn(H, W).astype(np.float32) * 0.03
+
+    static = np.full((H, W), 6, np.uint8)  # Road-ish everywhere
+    static[: H // 2] = 5                   # Building above horizon
+
+    person = np.zeros((H, W), np.uint8)
+    cx0 = int((0.15 + 0.015 * t) * W) % W
+    person[H // 3 : H // 3 + H // 4, cx0 : cx0 + W // 10] = 1
+    pz = 4.0
+    depth[person > 0] = pz
+
+    xl = (cx0 - cfg.camera_cx) / cfg.camera_fx * pz
+    kpts = np.array(
+        [[xl, -0.9, pz], [xl + 0.5, -0.9, pz], [xl, 0.9, pz], [xl + 0.5, 0.9, pz]],
+        np.float32,
+    )
+    masks = [
+        MaskKpts(track_id=65535, label="static", mask=static),
+        MaskKpts(track_id=7, label="Person", mask=person, kpts_current=kpts,
+                 kpts_previous=kpts - np.array([0.1, 0, 0], np.float32)),
+    ]
+    pos = np.array([0.02 * t, 0.0, 0.2 * t], np.float32)
+    quat = np.array([1.0, 0, 0, 0], np.float32)
+    return depth, masks, pos, quat
+
+
+def synth_vkitti2_frame(cfg, t):
+    """VKITTI2-like frame: ground + buildings + a moving car."""
     from semantic_dsp_map_tpu.frontend import MaskKpts
 
     H, W = cfg.height, cfg.width
     rng = np.random.RandomState(t)
 
-    # Depth: ground plane + a wall of buildings + noise.
-    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+    v = np.arange(H, dtype=np.float32)[:, None]
     depth = np.full((H, W), 25.0, np.float32)
-    ground = cfg.fy * 1.6 / np.maximum(v - cfg.cy, 1e-3)  # camera 1.6 m up
+    ground = cfg.fy * 1.6 / np.maximum(v - cfg.cy, 1e-3)
     depth = np.minimum(depth, np.where(v > cfg.cy, ground, depth))
     depth += rng.randn(H, W).astype(np.float32) * 0.05
 
-    # Static mask: road below horizon (label 7), building above (label 6).
-    static = np.where(v > cfg.cy, 6, 5).astype(np.uint8)  # mask holds id-1
+    static = np.where(v > cfg.cy, 6, 5).astype(np.uint8) * np.ones((1, W), np.uint8)
 
-    # A car box moving across the image.
     car = np.zeros((H, W), np.uint8)
     cx0 = int((0.2 + 0.02 * t) * W) % W
     car[H // 2 : H // 2 + H // 6, cx0 : cx0 + W // 8] = 1
     car_z = 12.0
     depth[car > 0] = car_z
 
-    masks = [MaskKpts(track_id=65535, label="static", mask=static)]
-    # Car keypoints in world frame.
-    zc = car_z
-    xl = (cx0 - cfg.cx) / cfg.fx * zc
+    xl = (cx0 - cfg.cx) / cfg.fx * car_z
     kpts = np.array(
-        [[xl, 0, zc], [xl + 2, 0, zc], [xl, -1.5, zc], [xl + 2, -1.5, zc],
-         [xl, 0, zc + 4], [xl + 2, 0, zc + 4]],
+        [[xl, 0, car_z], [xl + 2, 0, car_z], [xl, -1.5, car_z],
+         [xl + 2, -1.5, car_z], [xl, 0, car_z + 4], [xl + 2, 0, car_z + 4]],
         np.float32,
     )
-    kpts_prev = kpts - np.array([0.02 * W / cfg.fx * zc, 0, 0], np.float32)
-    masks.append(
-        MaskKpts(track_id=3, label="Car", mask=car, kpts_current=kpts, kpts_previous=kpts_prev)
-    )
-
-    pos = np.array([0.0, 0.0, 0.35 * t], np.float32)  # forward drive
+    masks = [
+        MaskKpts(track_id=65535, label="static", mask=static),
+        MaskKpts(track_id=3, label="Car", mask=car, kpts_current=kpts,
+                 kpts_previous=kpts - np.array([0.02 * W / cfg.fx * car_z, 0, 0], np.float32)),
+    ]
+    pos = np.array([0.0, 0.0, 0.35 * t], np.float32)
     quat = np.array([1.0, 0, 0, 0], np.float32)
     return depth, masks, pos, quat
 
 
-def main():
-    from semantic_dsp_map_tpu import FilterParams, SemanticDSPMap
-    from semantic_dsp_map_tpu.config import virtual_kitti2_config
-
-    cfg = virtual_kitti2_config()
-    params = FilterParams(
-        detection_probability=0.98,
-        noise_number=0.001,
-        nb_ptc_num_per_point=1,
-        occupancy_threshold=0.5,
-        max_observation_lost_time=5,
-        forgetting_rate=1.0,
-        max_forget_count=3,
-        id_transition_probability=0.2,
-        if_consider_depth_noise=True,
-        depth_noise_model_first_order=0.01,
-        depth_noise_model_zero_order=0.2,
-    )
-    from semantic_dsp_map_tpu.labels import LabelRegistry
-
-    registry = LabelRegistry.default()
-    dsp = SemanticDSPMap(cfg, params, registry)
-
-    warmup = 2
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-
-    frames = [synth_frame(cfg, registry, t) for t in range(warmup + iters)]
-
+def run_config(name, cfg, params, synth, iters, warmup=3):
     import jax
 
-    # Warmup (compile).
+    from semantic_dsp_map_tpu import SemanticDSPMap
+    from semantic_dsp_map_tpu.labels import LabelRegistry
+
+    dsp = SemanticDSPMap(cfg, params, LabelRegistry.default())
+    frames = [synth(cfg, t) for t in range(warmup + iters)]
+
+    updates = 0
     for t in range(warmup):
         d, m, p, q = frames[t]
-        result, _ = dsp.update(d, m, p, q, time=t * 0.1)
-    jax.block_until_ready(result.occ)
+        result, diag = dsp.update(d, m, p, q, time=t * 0.1)
+    # Force full completion of warmup (block_until_ready alone can return
+    # early through the TPU tunnel).
+    _ = float(np.asarray(result.occ[:1])[0])
 
     t0 = time.perf_counter()
     for t in range(warmup, warmup + iters):
         d, m, p, q = frames[t]
-        result, _ = dsp.update(d, m, p, q, time=t * 0.1)
-    jax.block_until_ready(result.occ)
+        result, diag = dsp.update(d, m, p, q, time=t * 0.1)
+        updates += diag.visible_count  # device-side; summed lazily
+    total_updates = int(np.asarray(updates))
+    _ = float(np.asarray(result.occ[:1])[0])
     dt = time.perf_counter() - t0
 
-    fps = iters / dt
-    baseline_fps = 10.0  # reference mapping rate (BASELINE.md)
+    return {
+        "config": name,
+        "frames": iters,
+        "fps": round(iters / dt, 3),
+        "particle_updates_per_sec": int(total_updates / dt),
+        "sec_per_frame": round(dt / iters, 4),
+    }
+
+
+def main():
+    from semantic_dsp_map_tpu.config import (
+        FilterParams, virtual_kitti2_config, zed2_config,
+    )
+
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+
+    # ZED2 headline: cfg/options_zed2.yaml runtime params.
+    zed2_params = FilterParams(
+        detection_probability=0.8, noise_number=0.2, nb_ptc_num_per_point=1,
+        occupancy_threshold=0.15, max_observation_lost_time=20,
+        forgetting_rate=1.0, max_forget_count=5, id_transition_probability=0.5,
+        bayesian_movement_distance_threshold=0.2,
+        bayesian_movement_probability_threshold=0.3,
+        bayesian_movement_increment=0.2, bayesian_movement_decrement=0.05,
+        if_consider_depth_noise=True,
+        depth_noise_model_first_order=0.02, depth_noise_model_zero_order=0.3,
+    )
+    zed2 = run_config("zed2", zed2_config(), zed2_params, synth_zed2_frame, iters)
+
+    details = {"zed2": zed2}
+    if os.environ.get("BENCH_FULL"):
+        vk_params = FilterParams(
+            detection_probability=0.98, noise_number=0.001, nb_ptc_num_per_point=1,
+            occupancy_threshold=0.5, max_observation_lost_time=5,
+            forgetting_rate=1.0, max_forget_count=3, id_transition_probability=0.2,
+            if_consider_depth_noise=True,
+            depth_noise_model_first_order=0.01, depth_noise_model_zero_order=0.2,
+        )
+        details["vkitti2"] = run_config(
+            "vkitti2", virtual_kitti2_config(), vk_params, synth_vkitti2_frame,
+            max(10, iters // 2),
+        )
+
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
+
+    baseline_fps = 10.0  # ZED2-mode reference rate (BASELINE.md, docs/3dbbox_mode.md:118-127)
     print(
         json.dumps(
             {
-                "metric": "vkitti2_frames_per_sec",
-                "value": round(fps, 3),
+                "metric": "zed2_frames_per_sec",
+                "value": zed2["fps"],
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
+                "vs_baseline": round(zed2["fps"] / baseline_fps, 3),
             }
         )
     )

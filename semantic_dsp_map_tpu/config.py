@@ -169,6 +169,24 @@ class MapConfig:
     #: Max visible (projected, unoccluded) particles processed per frame.
     max_visible_particles: int = 1 << 20
 
+    #: Capacity of the per-frame active-block working set (ops/blocks.py):
+    #: blocks of consecutive voxels holding any projectable particle are
+    #: row-gathered into an [A, block_slots] working set.  Overflow is
+    #: counted in StepDiagnostics (no silent loss).
+    max_active_blocks: int = 8192
+
+    #: Capacity of the pixel-sorted compact entry array feeding the PHD
+    #: pixel table (candidates beyond this are dropped and counted).
+    max_table_entries: int = 1 << 20
+
+    #: Capacity (in 512-voxel blocks) of the empty-voxel observation pass
+    #: (the reference's "imaginary center particle" rule,
+    #: operations.h:1414-1431).
+    corner_gather_blocks: int = 4096
+
+    #: Capacity of the rigid-move working set, in voxel blocks.
+    max_moving_blocks: int = 1024
+
     #: Per-pixel particle-table slots for the PHD stencil (the reference's
     #: pyramid lists are unbounded; overflow drops the lightest particles for
     #: one frame — see ops/phd.py docstring).
@@ -370,6 +388,10 @@ def tiny_test_config(**overrides) -> MapConfig:
         depth_range_min=0.3, depth_range_max=8.0,
         movement_mode=MOVEMENT_BAYESIAN,
         max_visible_particles=1 << 12,
+        max_active_blocks=16,
+        max_table_entries=1 << 12,
+        corner_gather_blocks=8,
+        max_moving_blocks=8,
         max_moving_particles=1 << 10,
         max_objects=8,
         max_instances_per_frame=8,

@@ -11,11 +11,19 @@ reformulation is:
      it is independent of the interleaved insertions and can run first);
   2. rank all candidates per voxel by the reference's deterministic sweep
      order (the 3x3-interleaved pixel sweep, semantic_dsp_map.h:777-800) and
-     scatter the top (vacancy) candidates of each voxel into its vacant slots
+     place the top (vacancy) candidates of each voxel into its vacant slots
      in first-vacant order — exactly the slots the serial loop would fill.
 
-The same insertion primitive serves newborn particles, rigid-moved particles
-of dynamic objects (operations.h:321-362), and guessed/template births.
+Implementation shape (PROFILE_r02.md cost model): one multi-operand sort of
+the candidates by (target voxel, priority) — sorts are cheap, full-state
+compaction and element gathers are not — then per-element scatters into a
+*block-compacted staging buffer* (the active target blocks only), a dense
+K x K merge inside the block working set, and whole-row write-back.  The
+same insertion core serves newborn particles, rigid-moved particles of
+dynamic objects (operations.h:321-362), and guessed/template births.
+
+Stale slots count as vacant and are overwritten (isParticleVacant,
+operations.h:810-816).
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ from ..state import (
     STATUS_UPDATED,
 )
 from . import codecs
+from .blocks import ActiveBlocks, block_layout, gather_rows, group_rank, scatter_rows
 from .projection import LabeledCloud
 
 
@@ -57,10 +66,10 @@ class Candidates(NamedTuple):
 # Per-voxel systematic resampling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=0)
-def resample_voxels(cfg: MapConfig, particles: Particles, target: jax.Array) -> Particles:
-    """resampleParticlesInVoxel (semantic_dsp_map.h:1448-1519) for every voxel
-    in ``target`` (bool[V]) at once.
+def resample_slots(cfg: MapConfig, status, weight, target):
+    """resampleParticlesInVoxel (semantic_dsp_map.h:1448-1519) on arrays of
+    shape [..., K] with a target mask [...] — used both on the full [V, K]
+    state and on block working sets.
 
     Only UPDATED particles participate (the reference checks status alone,
     without the staleness test).  A voxel resamples iff more than half its
@@ -75,15 +84,13 @@ def resample_voxels(cfg: MapConfig, particles: Particles, target: jax.Array) -> 
     K = cfg.slots_per_voxel
     trigger = (1 << cfg.max_particle_num_per_voxel_n) >> 1
 
-    updated = particles.status == STATUS_UPDATED
+    updated = status == STATUS_UPDATED
     # Sequential f32 accumulation in slot order, matching the reference's
-    # ``weight_sum +=`` loop bit-for-bit (the final walked particle's
-    # cumulative sum ties exactly with weight_sum, so rounding order decides
-    # its keep/delete fate).
-    wsum = jnp.zeros(cfg.num_voxels, jnp.float32)
+    # ``weight_sum +=`` loop bit-for-bit.
+    wsum = jnp.zeros(status.shape[:-1], jnp.float32)
     for k in range(K):
-        wsum = wsum + jnp.where(updated[:, k], particles.weight[:, k], 0.0)
-    count = jnp.sum(updated.astype(jnp.int32), axis=1)
+        wsum = wsum + jnp.where(updated[..., k], weight[..., k], 0.0)
+    count = jnp.sum(updated.astype(jnp.int32), axis=-1)
 
     do_resample = target & (count > trigger)
     wipe = do_resample & (wsum < 0.01)
@@ -91,56 +98,233 @@ def resample_voxels(cfg: MapConfig, particles: Particles, target: jax.Array) -> 
 
     wpp = jnp.minimum(wsum / trigger, 1.0)
 
-    # Serial keep/delete walk, unrolled over the (small, static) K slots.
     new_status = []
     new_weight = []
-    csum = jnp.zeros(cfg.num_voxels, jnp.float32)
+    csum = jnp.zeros(status.shape[:-1], jnp.float32)
     thresh = wpp
     for k in range(K):
-        upd_k = updated[:, k]
-        w_k = particles.weight[:, k]
+        upd_k = updated[..., k]
+        w_k = weight[..., k]
         csum_k = csum + jnp.where(upd_k, w_k, 0.0)
         delete = csum_k < thresh
         # Kept particle: weight -> wpp; the threshold advances by repeated
         # f32 additions of wpp until it is >= csum, reproducing the
-        # reference's inner while loop exactly (semantic_dsp_map.h:1505-1510;
-        # at most K updated particles fit, so K extra bumps suffice).
+        # reference's inner while loop exactly (semantic_dsp_map.h:1505-1510).
         thresh_kept = thresh + wpp
         for _ in range(K + 8):
             thresh_kept = jnp.where(csum_k > thresh_kept, thresh_kept + wpp, thresh_kept)
         active = walk & upd_k
         new_status.append(
-            jnp.where(
-                (wipe & upd_k) | (active & delete),
-                STATUS_INVALID,
-                particles.status[:, k],
-            )
+            jnp.where((wipe & upd_k) | (active & delete), STATUS_INVALID, status[..., k])
         )
-        new_weight.append(
-            jnp.where(active & ~delete, wpp, w_k)
-        )
+        new_weight.append(jnp.where(active & ~delete, wpp, w_k))
         csum = jnp.where(walk & upd_k, csum_k, csum)
         thresh = jnp.where(active & ~delete, thresh_kept, thresh)
 
-    return particles.replace(
-        status=jnp.stack(new_status, axis=1),
-        weight=jnp.stack(new_weight, axis=1),
-    )
+    return jnp.stack(new_status, axis=-1), jnp.stack(new_weight, axis=-1)
+
+
+@partial(jax.jit, static_argnums=0)
+def resample_voxels(cfg: MapConfig, particles: Particles, target: jax.Array) -> Particles:
+    """Full-state resampling wrapper (tests/diagnostics)."""
+    status, weight = resample_slots(cfg, particles.status, particles.weight, target)
+    return particles.replace(status=status, weight=weight)
 
 
 # ---------------------------------------------------------------------------
-# Capacity-constrained batched insertion
+# Capacity-constrained batched insertion (block-staged)
 # ---------------------------------------------------------------------------
 
-def _group_rank(sorted_voxel, n):
-    """Rank of each element within its run of equal voxel ids (input sorted)."""
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones(1, bool), sorted_voxel[1:] != sorted_voxel[:-1]]
+class InsertResult(NamedTuple):
+    particles: Particles
+    accepted_count: jax.Array   # i32 scalar
+    accepted_staged: jax.Array  # bool[A, spb] staged-candidate acceptance
+    staged_src: jax.Array       # i32[A, spb] original candidate index (or N)
+    block_overflow: jax.Array   # i32 scalar
+
+
+def _insert_core(
+    cfg: MapConfig,
+    particles: Particles,
+    scroll: ScrollState,
+    cand: Candidates,
+    resample_targets: bool,
+) -> InsertResult:
+    """Sort candidates by (voxel, priority), stage the first K per voxel into
+    the active target blocks, optionally resample the targeted voxels, then
+    merge staged candidates into first-vacant slots and write rows back."""
+    K = cfg.slots_per_voxel
+    N = cand.pos.shape[0]
+    V = cfg.num_voxels
+    bv, nb, spb = block_layout(cfg)
+    A = min(cfg.max_active_blocks, nb)
+    bv_n = bv.bit_length() - 1
+
+    vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
+    valid = cand.valid & in_map
+    vox = jnp.where(valid, vox, V)
+
+    meta = (
+        (jnp.clip(cand.forget, 0, 7) << 27)
+        | (jnp.clip(cand.status, 0, 7) << 24)
+        | ((cand.label & 0xFF) << 16)
+        | (cand.track & 0xFFFF)
     )
-    start_idx = jnp.where(is_start, idx, 0)
-    group_start = jax.lax.associative_scan(jnp.maximum, start_idx)
-    return idx - group_start
+
+    # One multi-operand sort orders candidates by (voxel, priority) and
+    # carries every field along (payload operands are nearly free on TPU).
+    (sv, _pri, spx, spy, spz, sw, sstamp, smeta, ssrc) = jax.lax.sort(
+        (
+            vox,
+            cand.priority,
+            cand.pos[:, 0],
+            cand.pos[:, 1],
+            cand.pos[:, 2],
+            cand.weight,
+            cand.stamp,
+            meta,
+            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1),
+        ),
+        num_keys=2,
+    )
+    rank = group_rank(sv)
+    stage_ok = (sv < V) & (rank < K)
+
+    # Active target blocks, listed from the sorted stream (ascending, unique).
+    sblock = sv >> bv_n
+    new_block = jnp.concatenate([jnp.ones(1, bool), sblock[1:] != sblock[:-1]])
+    new_block &= sv < V
+    block_rank = jnp.cumsum(new_block.astype(jnp.int32)) - 1
+    n_blocks = jnp.maximum(block_rank[-1] + 1, 0)
+    # Pad ids are nb+row (unique, out of range); see blocks.select_blocks.
+    ids = (nb + jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0).squeeze(-1)).at[
+        jnp.where(new_block & (block_rank < A), block_rank, A)
+    ].set(jnp.minimum(sblock, nb - 1), mode="drop")
+    blocks = ActiveBlocks(
+        ids=ids, count=jnp.minimum(n_blocks, A), overflow=jnp.maximum(n_blocks - A, 0)
+    )
+
+    # Stage the first K candidates of each voxel at
+    # (block_rank, voxel-within-block, rank) — unique destinations.
+    dest_ok = stage_ok & (block_rank < A)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    dest = jnp.where(
+        dest_ok,
+        block_rank * spb + (sv & (bv - 1)) * K + rank,
+        A * spb + iota_n,  # unique out-of-range pads (TPU scatter UB otherwise)
+    )
+
+    def stage(fill, vals, dtype):
+        return (
+            jnp.full(A * spb, fill, dtype)
+            .at[dest]
+            .set(vals.astype(dtype), mode="drop", unique_indices=True)
+            .reshape(A, spb)
+        )
+
+    in_px = stage(0.0, spx, jnp.float32)
+    in_py = stage(0.0, spy, jnp.float32)
+    in_pz = stage(0.0, spz, jnp.float32)
+    in_w = stage(0.0, sw, jnp.float32)
+    in_stamp = stage(0, sstamp, jnp.int32)
+    in_meta = stage(-1, smeta, jnp.int32)
+    staged_src = stage(N, ssrc, jnp.int32)
+
+    # ---- working set of the target blocks ----
+    g = lambda f: gather_rows(f, blocks, bv)
+    bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
+    bw, blab, btrk = g(particles.weight), g(particles.label), g(particles.track)
+    bst, bstamp, bfg = g(particles.status), g(particles.stamp), g(particles.forget)
+
+    vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
+    baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+    # Stale slots count as vacant (operations.h:810-816); also prune them so
+    # downstream status checks (e.g. resampling) cannot see stale UPDATED
+    # particles, matching the reference's prune-on-visit.
+    stale = (bst != STATUS_INVALID) & (bstamp < baxis)
+    bst = jnp.where(stale, STATUS_INVALID, bst)
+    alive = bst != STATUS_INVALID
+
+    if resample_targets:
+        K3 = (blocks.ids.shape[0], bv, K)
+        targeted = jnp.any((in_meta >= 0).reshape(K3), axis=2)
+        rst, rw = resample_slots(
+            cfg, bst.reshape(K3), bw.reshape(K3), targeted
+        )
+        bst = rst.reshape(bst.shape)
+        bw = rw.reshape(bw.shape)
+        alive = bst != STATUS_INVALID
+
+    # ---- first-vacant merge: vacant slot with vacant-rank r takes staged
+    # candidate r of its voxel (dense K x K selects) ----
+    shape3 = (blocks.ids.shape[0], bv, K)
+    vac3 = (~alive).reshape(shape3)
+    vrank3 = jnp.cumsum(vac3.astype(jnp.int32), axis=2) - 1
+    vac_count = jnp.sum(vac3.astype(jnp.int32), axis=2)
+
+    s3 = lambda a: a.reshape(shape3)
+    i_px, i_py, i_pz = s3(in_px), s3(in_py), s3(in_pz)
+    i_w, i_stamp, i_meta = s3(in_w), s3(in_stamp), s3(in_meta)
+
+    o_px, o_py, o_pz = s3(bpx), s3(bpy), s3(bpz)
+    o_w, o_lab, o_trk = s3(bw), s3(blab), s3(btrk)
+    o_st, o_stamp, o_fg = s3(bst), s3(bstamp), s3(bfg)
+
+    cols = {k: [] for k in ("px", "py", "pz", "w", "lab", "trk", "st", "stamp", "fg")}
+    for s in range(K):
+        vr_s = vrank3[..., s]
+        take = jnp.zeros(shape3[:2], bool)
+        c_px = jnp.zeros(shape3[:2], jnp.float32)
+        c_py = jnp.zeros(shape3[:2], jnp.float32)
+        c_pz = jnp.zeros(shape3[:2], jnp.float32)
+        c_w = jnp.zeros(shape3[:2], jnp.float32)
+        c_stamp = jnp.zeros(shape3[:2], jnp.int32)
+        c_m = jnp.zeros(shape3[:2], jnp.int32)
+        for c in range(K):
+            hit = vac3[..., s] & (vr_s == c) & (i_meta[..., c] >= 0)
+            take |= hit
+            c_px = jnp.where(hit, i_px[..., c], c_px)
+            c_py = jnp.where(hit, i_py[..., c], c_py)
+            c_pz = jnp.where(hit, i_pz[..., c], c_pz)
+            c_w = jnp.where(hit, i_w[..., c], c_w)
+            c_stamp = jnp.where(hit, i_stamp[..., c], c_stamp)
+            c_m = jnp.where(hit, i_meta[..., c], c_m)
+        cols["px"].append(jnp.where(take, c_px, o_px[..., s]))
+        cols["py"].append(jnp.where(take, c_py, o_py[..., s]))
+        cols["pz"].append(jnp.where(take, c_pz, o_pz[..., s]))
+        cols["w"].append(jnp.where(take, c_w, o_w[..., s]))
+        cols["stamp"].append(jnp.where(take, c_stamp, o_stamp[..., s]))
+        cols["trk"].append(jnp.where(take, c_m & 0xFFFF, o_trk[..., s]))
+        cols["lab"].append(jnp.where(take, (c_m >> 16) & 0xFF, o_lab[..., s]))
+        cols["st"].append(jnp.where(take, (c_m >> 24) & 0x7, o_st[..., s]))
+        cols["fg"].append(jnp.where(take, (c_m >> 27) & 0x7, o_fg[..., s]))
+
+    col = lambda k: jnp.stack(cols[k], axis=-1).reshape(shape3[0], spb)
+
+    new = particles.replace(
+        px=scatter_rows(particles.px, blocks, bv, col("px")),
+        py=scatter_rows(particles.py, blocks, bv, col("py")),
+        pz=scatter_rows(particles.pz, blocks, bv, col("pz")),
+        weight=scatter_rows(particles.weight, blocks, bv, col("w")),
+        label=scatter_rows(particles.label, blocks, bv, col("lab")),
+        track=scatter_rows(particles.track, blocks, bv, col("trk")),
+        status=scatter_rows(particles.status, blocks, bv, col("st")),
+        stamp=scatter_rows(particles.stamp, blocks, bv, col("stamp")),
+        forget=scatter_rows(particles.forget, blocks, bv, col("fg")),
+    )
+
+    # Staged candidate c of a voxel is accepted iff c < vacancy count.
+    crank = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+    accepted_staged = (i_meta >= 0) & (crank < vac_count[..., None])
+    accepted_count = jnp.sum(accepted_staged.astype(jnp.int32))
+
+    return InsertResult(
+        particles=new,
+        accepted_count=accepted_count,
+        accepted_staged=accepted_staged.reshape(shape3[0], spb),
+        staged_src=staged_src,
+        block_overflow=blocks.overflow,
+    )
 
 
 @partial(jax.jit, static_argnums=0)
@@ -152,122 +336,33 @@ def insert_particles(
 ):
     """Insert candidates into first-vacant slots of their target voxels.
 
-    Vacancy matches isParticleVacant (operations.h:810-816): INVALID status or
-    a stamp older than the voxel column's wrap-out stamp.  Per voxel, the
-    lowest-priority-first candidates fill vacant slots in ascending slot
-    order; the rest are dropped — the batched equivalent of the serial
-    addParticleByGlobalPos loop (operations.h:782-803).
-
-    TPU shape: candidates are sorted by (voxel, priority), ranked within
-    their voxel, scattered into a per-voxel staging buffer [V, K] with
-    unique (voxel, rank) targets, and the staging buffer is merged into the
-    vacant slots with K x K dense select passes — no per-candidate gathers
-    of [V, K] rows (TPU gathers run at scalar rate).
-
-    Returns (particles', accepted bool[N], target_voxel i32[N]).
+    Returns (particles', accepted bool[N], target_voxel i32[N]).  The
+    per-candidate ``accepted`` mask costs an extra scatter; the production
+    frame path uses :func:`insert_with_resample`, which only needs the count.
     """
-    K = cfg.slots_per_voxel
+    res = _insert_core(cfg, particles, scroll, cand, resample_targets=False)
     N = cand.pos.shape[0]
-    V = cfg.num_voxels
-
+    accepted = (
+        jnp.zeros(N, bool)
+        .at[res.staged_src.reshape(-1)]
+        .set(res.accepted_staged.reshape(-1), mode="drop")
+    )
     vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
-    valid = cand.valid & in_map
-    vox = jnp.where(valid, vox, V)  # padding group at the end
+    vox = jnp.where(cand.valid & in_map, vox, cfg.num_voxels)
+    return res.particles, accepted, vox
 
-    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, scroll)
-    alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis_stamp)
-    vacant = ~alive
-    vacancy_count = jnp.sum(vacant.astype(jnp.int32), axis=1)
-    # Rank of each vacant slot within its voxel (0 = first vacant).
-    vacant_rank = jnp.cumsum(vacant.astype(jnp.int32), axis=1) - 1
 
-    # Two stable sorts give ordering by (voxel, priority).
-    order1 = jnp.argsort(cand.priority, stable=True)
-    vox1 = vox[order1]
-    order2 = jnp.argsort(vox1, stable=True)
-    order = order1[order2]
-    sv = vox[order]
+def insert_with_resample(
+    cfg: MapConfig,
+    particles: Particles,
+    scroll: ScrollState,
+    cand: Candidates,
+):
+    """Production insertion: resample targeted voxels first, then insert.
 
-    rank = _group_rank(sv, N)
-    sv_safe = jnp.minimum(sv, V - 1)
-
-    # Stage the first K candidates of each voxel: unique (voxel, rank)
-    # scatter.  Fields are packed to keep the scatter count low:
-    # meta = forget(3b) | status(3b) | label(8b) | track(16b).
-    g = lambda a: a[order]
-    stage_ok = (sv < V) & (rank < K)
-    tv = jnp.where(stage_ok, sv, V)
-    tr = jnp.clip(rank, 0, K - 1)
-
-    meta = (
-        (g(cand.forget) << 27)
-        | (g(cand.status) << 24)
-        | (g(cand.label) << 16)
-        | g(cand.track)
-    )
-
-    def stage(fill, vals, dtype):
-        base = jnp.full((V, K), fill, dtype)
-        return base.at[tv, tr].set(vals.astype(dtype), mode="drop", unique_indices=True)
-
-    cpos = g(cand.pos)
-    in_px = stage(0.0, cpos[:, 0], jnp.float32)
-    in_py = stage(0.0, cpos[:, 1], jnp.float32)
-    in_pz = stage(0.0, cpos[:, 2], jnp.float32)
-    in_w = stage(0.0, g(cand.weight), jnp.float32)
-    in_stamp = stage(0, g(cand.stamp), jnp.int32)
-    in_meta = stage(-1, meta, jnp.int32)  # -1 = no candidate staged
-
-    # Dense merge: vacant slot s (vacant-rank r) takes staged candidate r.
-    pos = particles.pos
-    weight, label, track = particles.weight, particles.label, particles.track
-    status, stamp, forget = particles.status, particles.stamp, particles.forget
-
-    new_cols = {"weight": [], "label": [], "track": [], "status": [],
-                "stamp": [], "forget": [], "px": [], "py": [], "pz": []}
-    for s in range(K):
-        vr_s = vacant_rank[:, s]
-        take = jnp.zeros(V, bool)
-        c_px = jnp.zeros(V, jnp.float32)
-        c_py = jnp.zeros(V, jnp.float32)
-        c_pz = jnp.zeros(V, jnp.float32)
-        c_w = jnp.zeros(V, jnp.float32)
-        c_st = jnp.zeros(V, jnp.int32)
-        c_m = jnp.zeros(V, jnp.int32)
-        for c in range(K):
-            hit = vacant[:, s] & (vr_s == c) & (in_meta[:, c] >= 0)
-            take = take | hit
-            c_px = jnp.where(hit, in_px[:, c], c_px)
-            c_py = jnp.where(hit, in_py[:, c], c_py)
-            c_pz = jnp.where(hit, in_pz[:, c], c_pz)
-            c_w = jnp.where(hit, in_w[:, c], c_w)
-            c_st = jnp.where(hit, in_stamp[:, c], c_st)
-            c_m = jnp.where(hit, in_meta[:, c], c_m)
-        new_cols["px"].append(jnp.where(take, c_px, pos[0, :, s]))
-        new_cols["py"].append(jnp.where(take, c_py, pos[1, :, s]))
-        new_cols["pz"].append(jnp.where(take, c_pz, pos[2, :, s]))
-        new_cols["weight"].append(jnp.where(take, c_w, weight[:, s]))
-        new_cols["stamp"].append(jnp.where(take, c_st, stamp[:, s]))
-        new_cols["track"].append(jnp.where(take, c_m & 0xFFFF, track[:, s]))
-        new_cols["label"].append(jnp.where(take, (c_m >> 16) & 0xFF, label[:, s]))
-        new_cols["status"].append(jnp.where(take, (c_m >> 24) & 0x7, status[:, s]))
-        new_cols["forget"].append(jnp.where(take, (c_m >> 27) & 0x7, forget[:, s]))
-
-    col = lambda k: jnp.stack(new_cols[k], axis=1)
-    new = particles.replace(
-        pos=jnp.stack([col("px"), col("py"), col("pz")], axis=0),
-        weight=col("weight"),
-        label=col("label"),
-        track=col("track"),
-        status=col("status"),
-        stamp=col("stamp"),
-        forget=col("forget"),
-    )
-
-    # Per-candidate accepted mask, back in candidate order.
-    accepted_sorted = stage_ok & (rank < vacancy_count[sv_safe])
-    accepted = jnp.zeros(N, bool).at[order].set(accepted_sorted)
-    return new, accepted, vox
+    Returns (particles', accepted_count, block_overflow)."""
+    res = _insert_core(cfg, particles, scroll, cand, resample_targets=True)
+    return res.particles, res.accepted_count, res.block_overflow
 
 
 # ---------------------------------------------------------------------------
@@ -340,16 +435,8 @@ def birth_and_resample(
 ):
     """Resample birth-target voxels, then insert newborn particles.
 
-    Returns (particles', accepted bool[N], candidates).
+    Returns (particles', born_count, block_overflow, candidates).
     """
     cand = newborn_candidates(cfg, params, cloud, global_time, rng)
-
-    vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
-    targeted = jnp.zeros(cfg.num_voxels, bool)
-    targeted = targeted.at[jnp.where(cand.valid & in_map, vox, cfg.num_voxels)].set(
-        True, mode="drop"
-    )
-
-    particles = resample_voxels(cfg, particles, targeted)
-    particles, accepted, _ = insert_particles(cfg, particles, scroll, cand)
-    return particles, accepted, cand
+    particles, born, overflow = insert_with_resample(cfg, particles, scroll, cand)
+    return particles, born, overflow, cand

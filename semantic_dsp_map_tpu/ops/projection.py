@@ -5,28 +5,21 @@ These are hot loops #1 and #2 of the reference frame kernel:
     back-projection with mask fusion -> here a fully vectorized [H, W] map.
   - updateVisibleParitlcesWithBFS / getIdxOfVisibleParitlces
     (operations.h:653-667, 1297-1457): the reference walks frustum voxels
-    with a vertex BFS purely to avoid scanning all voxels on a CPU.  On TPU
-    we project *every* live particle with one vectorized transform and mask
-    by frustum/occlusion — a trivially parallel map that also subsumes the
-    pixel "pyramid" hash structure (buffer.h:89-93): instead of per-pixel
-    particle lists we keep, per particle, its pixel coordinates, and compact
-    the visible subset into a fixed-size index buffer.
+    with a vertex BFS purely to avoid scanning all voxels on a CPU.  The
+    TPU-native production path is the fused block pipeline in
+    ops/observe.py; the :class:`VisibleSet` container kept here is the
+    test/diagnostic surface for the PHD oracle tests.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..config import FilterParams, MapConfig, PARTICLE_OCC_INIT_WEIGHT
+from ..config import FilterParams, MapConfig
 from ..labels import BACKGROUND_INSTANCE_ID
-from ..state import MapState, Particles, STATUS_INVALID
-from . import codecs
-from .geometry import project_to_image, project_to_image_xyz
 
 
 class LabeledCloud(NamedTuple):
@@ -141,117 +134,3 @@ class VisibleSet(NamedTuple):
     forget: jax.Array   # i32[P]
     visible: jax.Array  # bool[P] in-pyramid (unoccluded, not far-free)
     count: jax.Array    # i32 scalar, number of visible entries
-
-
-@partial(jax.jit, static_argnums=0)
-def visibility_pass(
-    cfg: MapConfig,
-    state: MapState,
-    depth: jax.Array,
-    r_cw: jax.Array,
-    t_cw: jax.Array,
-):
-    """Project all particles; classify visible / occluded / free-reset; update
-    voxel observation stamps; compact the visible set.
-
-    Mirrors getIdxOfVisibleParitlces (operations.h:1297-1457):
-      - stale particles (older than their voxel column's wrap-out stamp) are
-        pruned to INVALID (operations.h:1374-1377; the reference prunes only
-        BFS-visited voxels but treats stale slots as vacant everywhere, so
-        global pruning is equivalent);
-      - particles whose pixel measures depth > range max get their weight
-        reset to the newborn weight — observed free space
-        (operations.h:1389-1395);
-      - particles behind the measured surface by more than one sigma are
-        occluded and skipped (operations.h:1397-1400);
-      - a voxel's stamp is refreshed when any of its particles was observed,
-        or when it has no live particles but its (corner) point projects in
-        front of the measured depth (operations.h:1414-1431).
-
-    Returns (particles', voxel_stamp', VisibleSet).
-    """
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
-    p = state.particles
-
-    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
-    alive = codecs.particle_alive(p.status, p.stamp, vox_axis_stamp)
-
-    # Prune stale-but-flagged slots.
-    status = jnp.where(alive, p.status, STATUS_INVALID)
-
-    # Dense projection of every slot.  NOTE: no depth lookups here — a
-    # [V, K]-wide gather runs at ~10-30 ns/element on TPU (scalar rate);
-    # all pixel-dependent tests happen on the compacted [P] buffer below.
-    row, col, cam_z, proj_ok = project_to_image_xyz(
-        cfg, r_cw, t_cw, p.pos[0], p.pos[1], p.pos[2]
-    )
-    cand = proj_ok & alive
-
-    # Pack (track, forget) so the compaction needs one gather, not two.
-    packed_tf = (p.track << 8) | (p.forget & 0xFF)
-
-    P = cfg.max_visible_particles
-    vi, ki = jnp.nonzero(cand, size=P, fill_value=-1)
-    ok = vi >= 0
-    vs = jnp.maximum(vi, 0)
-    ks = jnp.maximum(ki, 0)
-
-    px = p.pos[0][vs, ks]
-    py = p.pos[1][vs, ks]
-    pz = p.pos[2][vs, ks]
-    w_e = p.weight[vs, ks]
-    tf_e = packed_tf[vs, ks]
-
-    # Recompute pixel coords / camera depth from the gathered positions (the
-    # identical arithmetic on identical f32 inputs gives identical results).
-    row_e, col_e, camz_e, _ = project_to_image_xyz(cfg, r_cw, t_cw, px, py, pz)
-    rs = jnp.clip(row_e, 0, cfg.height - 1)
-    cs = jnp.clip(col_e, 0, cfg.width - 1)
-    depth_at = depth[rs, cs]
-
-    far_free = ok & (depth_at > cfg.depth_range_max)
-    one_sigma = 1.0 + cfg.depth_error_stddev_at_one_meter
-    occluded = ok & ~far_free & (camz_e > depth_at * one_sigma)
-    visible = ok & ~far_free & ~occluded
-
-    # Far-depth free-space reset (operations.h:1389-1395): weight -> newborn
-    # weight; (voxel, slot) targets are unique.
-    weight = p.weight.at[jnp.where(far_free, vi, V), ks].set(
-        PARTICLE_OCC_INIT_WEIGHT, mode="drop", unique_indices=True
-    )
-
-    # Voxel stamp refresh (operations.h:1414-1431): a voxel is observed when
-    # any of its particles is visible or far-free...
-    observed_voxel = jnp.zeros(V, bool).at[
-        jnp.where(visible | far_free, vi, V)
-    ].set(True, mode="drop")
-    has_alive = jnp.any(alive, axis=1)
-
-    # ...or when it has no live particles but its corner point projects in
-    # front of the measured surface (the "imaginary particle" rule).
-    corner = codecs.voxel_to_global_pos(
-        cfg, state.scroll, jnp.arange(V, dtype=jnp.int32)
-    )
-    crow, ccol, cz, cok = project_to_image(cfg, r_cw, t_cw, corner)
-    cdepth = depth[jnp.clip(crow, 0, cfg.height - 1), jnp.clip(ccol, 0, cfg.width - 1)]
-    center_observed = cok & (cz <= cdepth)
-
-    stamp_now = observed_voxel | (~has_alive & center_observed)
-    voxel_stamp = jnp.where(stamp_now, state.global_time, state.voxel_stamp)
-
-    vpos = jnp.stack([px, py, pz], axis=-1)
-    vis = VisibleSet(
-        vox=jnp.where(ok, vi, -1),
-        slot=jnp.where(ok, ki, 0),
-        row=jnp.where(ok, row_e, 0),
-        col=jnp.where(ok, col_e, 0),
-        pos=jnp.where(ok[:, None], vpos, 0.0),
-        weight=jnp.where(ok, w_e, 0.0),
-        track=jnp.where(ok, tf_e >> 8, -1),
-        forget=jnp.where(ok, tf_e & 0xFF, 0),
-        visible=visible,
-        count=jnp.sum(visible.astype(jnp.int32)),
-    )
-
-    particles = p.replace(status=status, weight=weight)
-    return particles, voxel_stamp, vis

@@ -1,11 +1,13 @@
 """Per-stage timing harness — the analog of the reference's VERBOSE_MODE
 chrono spans (semantic_dsp_map.h:916-952), with the same stage breakdown:
-objects / labeled cloud / prediction / visibility / PHD weight update /
+objects / labeled cloud / prediction / observe (visibility+PHD) /
 birth+resample / render.
 
 Stages are timed as *cumulative prefixes* of the real frame step (each prefix
 jitted with donation, exactly like production): the delta between prefix k and
 prefix k-1 is the cost of stage k including everything XLA can fuse into it.
+A scalar readback per timing loop guards against the platform's async
+dispatch (block_until_ready alone can return early through the TPU tunnel).
 
 Usage:
     python -m semantic_dsp_map_tpu.profiling [--config vkitti2] [--iters 5]
@@ -24,8 +26,7 @@ STAGES = [
     "objects",
     "labeled_cloud",
     "prediction",
-    "visibility",
-    "phd_update",
+    "observe_phd",
     "birth_resample",
     "render",
 ]
@@ -34,15 +35,14 @@ STAGES = [
 def build_prefix_step(cfg, params, registry, stop_after: int):
     """The frame step truncated after STAGES[stop_after]; mirrors
     map.build_frame_step stage for stage."""
-    from .config import KEYPOINTS_BBOX3D
     from .frontend import FrameInput
     from .map import _move_and_cleanup
     from .objects import ObservedInstances, expire_objects, object_level_update
     from .ops import codecs
     from .ops.birth import birth_and_resample
     from .ops.geometry import camera_matrices
-    from .ops.phd import phd_weight_update
-    from .ops.projection import generate_labeled_cloud, visibility_pass
+    from .ops.observe import observe_and_update
+    from .ops.projection import generate_labeled_cloud
     from .ops.render import render_occupancy
     from .state import MapState
 
@@ -75,7 +75,7 @@ def build_prefix_step(cfg, params, registry, stop_after: int):
 
         scroll = codecs.update_ego_center(cfg, state.scroll, f.cam_pos, gt)
         objects, _ = expire_objects(params, objects, gt)
-        particles, moved = _move_and_cleanup(
+        particles, moved, _mov = _move_and_cleanup(
             cfg, params, state.particles, scroll, objects, gt, k_move, max_movable
         )
         state = state.replace(
@@ -85,21 +85,19 @@ def build_prefix_step(cfg, params, registry, stop_after: int):
         if stop_after == 2:
             return state, cloud
 
-        particles, voxel_stamp, vis = visibility_pass(cfg, state, f.depth, r_cw, t_cw)
+        particles, voxel_stamp, odiag = observe_and_update(
+            cfg, params, state.particles, state.scroll, state.voxel_stamp,
+            cloud, f.depth, r_cw, t_cw, gt,
+        )
         state = state.replace(particles=particles, voxel_stamp=voxel_stamp)
         if stop_after == 3:
-            return state, vis.count
+            return state, odiag.visible_count
 
-        particles = phd_weight_update(cfg, params, vis, cloud, state.particles, gt)
-        state = state.replace(particles=particles)
-        if stop_after == 4:
-            return state
-
-        particles, accepted, _ = birth_and_resample(
+        particles, born, _bov, _cand = birth_and_resample(
             cfg, params, state.particles, state.scroll, cloud, gt, k_birth
         )
         state = state.replace(particles=particles, prev_frame_time=f.time)
-        if stop_after == 5:
+        if stop_after == 4:
             return state
 
         particles, result = render_occupancy(cfg, state, params.occupancy_threshold)
@@ -129,7 +127,7 @@ def main():
         "vkitti2": virtual_kitti2_config, "zed2": zed2_config,
         "kitti360": kitti360_config, "tiny": tiny_test_config,
     }[args.config]()
-    params = FilterParams(nb_ptc_num_per_point=1, if_consider_depth_noise=True,
+    params = FilterParams(nb_ptc_num_per_point=3, if_consider_depth_noise=True,
                           depth_noise_model_zero_order=0.2,
                           depth_noise_model_first_order=0.01)
     registry = LabelRegistry.default()
@@ -159,13 +157,13 @@ def main():
         state = init_map_state(cfg, seed=0)
         out = step(state, frame)
         state = out[0] if isinstance(out, tuple) else out
-        jax.block_until_ready(state.particles.weight)
+        _ = float(jnp.sum(state.particles.weight[0, 0]))  # forced readback
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(state, frame)
             state = out[0] if isinstance(out, tuple) else out
-        jax.block_until_ready(state.particles.weight)
+        _ = float(jnp.sum(state.particles.weight[0, 0]))
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"prefix<={STAGES[k]:<15} {ms:9.2f} ms   (+{ms - prev_ms:8.2f})", flush=True)
         prev_ms = ms

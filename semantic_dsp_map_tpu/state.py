@@ -34,14 +34,16 @@ STATUS_COPIED = 4
 class Particles:
     """SoA particle storage, shape [V, K] (V voxels, K slots/voxel).
 
-    ``pos`` carries its xyz components on the LEADING axis ([3, V, K], not
-    [V, K, 3]): a minor-most axis of extent 3 forces XLA's TPU layout
-    assignment to pad it to the 128-lane tile inside gather/scatter relayouts
-    (observed: a 672 MB position array copied into a 12 GB padded temp),
-    while a leading 3 leaves the (V, K) tiling untouched.
+    Positions are three SEPARATE [V, K] arrays: any array that combines the
+    xyz axis with (V, K) tempts XLA's TPU layout assignment into putting a
+    tiny axis on the 128-lane dimension — observed as a 672 MB [3, V, K]
+    position array copied into a 12 GB padded temp inside a conditional.
+    Fully separate planes keep every layout decision 2-D and benign.
     """
 
-    pos: jax.Array      # f32[3, V, K] global-frame position (xyz leading!)
+    px: jax.Array       # f32[V, K] global-frame position x
+    py: jax.Array       # f32[V, K]
+    pz: jax.Array       # f32[V, K]
     weight: jax.Array   # f32[V, K]
     label: jax.Array    # i32[V, K] semantic label id
     track: jax.Array    # i32[V, K] instance / track id
@@ -125,7 +127,9 @@ class MapState:
 def init_particles(cfg: MapConfig) -> Particles:
     V, K = cfg.num_voxels, cfg.slots_per_voxel
     return Particles(
-        pos=jnp.zeros((3, V, K), jnp.float32),
+        px=jnp.zeros((V, K), jnp.float32),
+        py=jnp.zeros((V, K), jnp.float32),
+        pz=jnp.zeros((V, K), jnp.float32),
         weight=jnp.zeros((V, K), jnp.float32),
         label=jnp.zeros((V, K), jnp.int32),
         track=jnp.zeros((V, K), jnp.int32),

@@ -79,7 +79,7 @@ def _extract_particle_points(cfg: MapConfig, n_max: int, state: MapState, tid, w
     ok = vi >= 0
     gv, gk = jnp.maximum(vi, 0), jnp.maximum(ki, 0)
     pts = jnp.stack(
-        [p.pos[0][gv, gk], p.pos[1][gv, gk], p.pos[2][gv, gk]], axis=-1
+        [p.px[gv, gk], p.py[gv, gk], p.pz[gv, gk]], axis=-1
     )
     pts = jnp.where(ok[:, None], pts, 0.0)
     return pts, ok, jnp.sum(m.astype(jnp.int32))

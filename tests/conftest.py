@@ -4,7 +4,10 @@ persistent compilation cache (compiles are expensive on this small host)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend.  NOTE: on this host the axon TPU plugin ignores the
+# JAX_PLATFORMS env var; JAX_PLATFORM_NAME (and jax.config) do work.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
