@@ -152,31 +152,38 @@ def main():
     )
     zed2 = run_config("zed2", zed2_config(), zed2_params, synth_zed2_frame, iters)
 
-    details = {"zed2": zed2}
-    if os.environ.get("BENCH_FULL"):
-        vk_params = FilterParams(
-            detection_probability=0.98, noise_number=0.001, nb_ptc_num_per_point=1,
-            occupancy_threshold=0.5, max_observation_lost_time=5,
-            forgetting_rate=1.0, max_forget_count=3, id_transition_probability=0.2,
-            if_consider_depth_noise=True,
-            depth_noise_model_first_order=0.01, depth_noise_model_zero_order=0.2,
-        )
-        details["vkitti2"] = run_config(
-            "vkitti2", virtual_kitti2_config(), vk_params, synth_vkitti2_frame,
-            max(10, iters // 2),
-        )
+    # VKITTI2 north-star workload: always measured (VERDICT r2 weak #1 —
+    # never gate the headline config).  Reference maps VKITTI2 at ~10 Hz
+    # (docs/superpoint_mode.md:79-81); runtime params from cfg/options.yaml
+    # semantics (depth noise on).
+    vk_params = FilterParams(
+        detection_probability=0.98, noise_number=0.001, nb_ptc_num_per_point=1,
+        occupancy_threshold=0.5, max_observation_lost_time=5,
+        forgetting_rate=1.0, max_forget_count=3, id_transition_probability=0.2,
+        if_consider_depth_noise=True,
+        depth_noise_model_first_order=0.01, depth_noise_model_zero_order=0.2,
+    )
+    vkitti2 = run_config(
+        "vkitti2", virtual_kitti2_config(), vk_params, synth_vkitti2_frame,
+        max(10, iters // 2),
+    )
 
+    details = {"zed2": zed2, "vkitti2": vkitti2}
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1)
 
-    baseline_fps = 10.0  # ZED2-mode reference rate (BASELINE.md, docs/3dbbox_mode.md:118-127)
+    # Headline: the VKITTI2 north star (BASELINE.md: >10x the reference's
+    # ~10 Hz mapping rate).  vs_baseline is fps / 10 Hz; the ZED2 secondary
+    # number (baseline 10 Hz too) is in BENCH_DETAILS.json.
+    baseline_fps = 10.0
     print(
         json.dumps(
             {
-                "metric": "zed2_frames_per_sec",
-                "value": zed2["fps"],
+                "metric": "vkitti2_frames_per_sec",
+                "value": vkitti2["fps"],
                 "unit": "frames/s",
-                "vs_baseline": round(zed2["fps"] / baseline_fps, 3),
+                "vs_baseline": round(vkitti2["fps"] / baseline_fps, 3),
+                "zed2_fps": zed2["fps"],
             }
         )
     )

@@ -179,6 +179,11 @@ class MapConfig:
     #: pixel table (candidates beyond this are dropped and counted).
     max_table_entries: int = 1 << 20
 
+    #: Capacity of the insertion staging working set (ops/birth.py), in voxel
+    #: blocks.  Separate from ``max_active_blocks`` (the observe-side knob) so
+    #: the two caps can be tuned — and tested — independently.
+    max_birth_blocks: int = 8192
+
     #: Capacity (in 512-voxel blocks) of the empty-voxel observation pass
     #: (the reference's "imaginary center particle" rule,
     #: operations.h:1414-1431).
@@ -390,6 +395,7 @@ def tiny_test_config(**overrides) -> MapConfig:
         max_visible_particles=1 << 12,
         max_active_blocks=16,
         max_table_entries=1 << 12,
+        max_birth_blocks=16,
         corner_gather_blocks=8,
         max_moving_blocks=8,
         max_moving_particles=1 << 10,

@@ -21,7 +21,6 @@ nothing is silently truncated.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

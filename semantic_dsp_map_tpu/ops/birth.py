@@ -157,7 +157,7 @@ def _insert_core(
     N = cand.pos.shape[0]
     V = cfg.num_voxels
     bv, nb, spb = block_layout(cfg)
-    A = min(cfg.max_active_blocks, nb)
+    A = min(cfg.max_birth_blocks, nb)
     bv_n = bv.bit_length() - 1
 
     vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)

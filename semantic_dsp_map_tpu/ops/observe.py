@@ -222,13 +222,7 @@ def observe_and_update(
     voxel_stamp = scatter_rows(voxel_stamp, blocks, bv, bvst)
 
     # ---- empty-voxel stamps (imaginary center particle rule) ----
-    import os as _os
-    if _os.environ.get("DSP_DISABLE_CORNER"):
-        corner_overflow = jnp.int32(0)
-    else:
-        voxel_stamp, corner_overflow = _refresh_tmp(cfg, scroll, voxel_stamp, has_alive, depth, r_cw, t_cw, global_time)
-    if False:
-        voxel_stamp, corner_overflow = refresh_empty_voxel_stamps(
+    voxel_stamp, corner_overflow = refresh_empty_voxel_stamps(
         cfg, scroll, voxel_stamp, has_alive, depth, r_cw, t_cw, global_time
     )
 
@@ -240,10 +234,6 @@ def observe_and_update(
         corner_overflow=corner_overflow,
     )
     return particles, voxel_stamp, diag
-
-
-def _refresh_tmp(*a):
-    return refresh_empty_voxel_stamps(*a)
 
 
 def refresh_empty_voxel_stamps(

@@ -1,0 +1,334 @@
+"""Pallas TPU kernels for the PHD stencil passes (hot loop #3).
+
+The XLA formulation in ops/phd.py re-streams the [S, H, W] particle table
+(pass A) / observation grids (pass B) from HBM once per neighborhood offset —
+(2R+1)^2 = 49 (ZED2) or 121 (VKITTI2) full passes per frame.  These kernels
+hold one (TH, TW) output tile's inputs (plus the R-pixel halo) in VMEM and
+run every offset from there, cutting HBM traffic by ~the offset count and
+turning the stencil compute-bound.
+
+Layout: all per-slot planes are stacked on a leading "plane" axis so each
+tile is ONE contiguous-ish DMA: pass A tables are [5*S, Hp, Wp]
+(px, py, pz, w_eff, track-as-f32), pass B observation grids are [6, Hp, Wp]
+(ox, oy, oz, valid, track, ck_kappa).  Track ids (< 65536) are exact in f32.
+
+Reference semantics are identical to ops/phd.py (semantic_dsp_map.h:960-1121);
+equality is asserted by tests/test_phd_pallas.py in interpret mode and by the
+TPU-vs-XLA check in benchmarks/check_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import (
+    FilterParams,
+    GAUSSIAN_PDF_COEF,
+    GAUSSIAN_PDF_Z_CLIP,
+    MIN_RIGHTLY_UPDATED_PDF,
+    MapConfig,
+)
+
+_COEF3 = GAUSSIAN_PDF_COEF ** 3
+
+# Output tile shape.  TH*TW lanes per vector op; TW a lane multiple keeps the
+# boundary shifts cheap.  VMEM per pass-A tile at S=12, R=5:
+# 5*12*(8+10)*(256+10)*4 B ~ 1.1 MB.
+_TH = 8
+_TW = 256
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(a, h: int, w: int, fill):
+    """Pad the trailing two dims of ``a`` up to (h, w) with ``fill``."""
+    ph = h - a.shape[-2]
+    pw = w - a.shape[-1]
+    cfgpad = [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)]
+    return jnp.pad(a, cfgpad, constant_values=fill)
+
+
+# ---------------------------------------------------------------------------
+# Pass A: per-pixel normalizer ck
+# ---------------------------------------------------------------------------
+
+
+def _pass_a_kernel(
+    tab_hbm,      # ANY [5*S, HT+2R, WT+2R] stacked padded tables
+    obs_ref,      # VMEM [5, TH, TW] (ox, oy, oz, inv_sigma, otrk)
+    ck_ref,       # VMEM out [TH, TW]
+    tab_vmem,     # scratch VMEM [5*S, TH+2R, TW+2R]
+    sem,          # DMA semaphore
+    *,
+    S: int,
+    R: int,
+    id_p: float,
+    independent: bool,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    side = 2 * R + 1
+
+    dma = pltpu.make_async_copy(
+        tab_hbm.at[:, pl.ds(i * _TH, _TH + 2 * R), pl.ds(j * _TW, _TW + 2 * R)],
+        tab_vmem,
+        sem,
+    )
+    dma.start()
+
+    ox = obs_ref[0][None]
+    oy = obs_ref[1][None]
+    oz = obs_ref[2][None]
+    inv_sig = obs_ref[3][None]
+    otrk = obs_ref[4][None]
+
+    dma.wait()
+
+    def body(dm, ck):
+        # One sublane-dynamic band load per dm; lane shifts below are static.
+        band = tab_vmem[:, pl.ds(dm, _TH), :]           # [5S, TH, TW+2R]
+        ck_in = ck
+        for dn in range(side):
+            win = band[:, :, dn : dn + _TW].reshape(5, S, _TH, _TW)
+            zx = (win[0] - ox) * inv_sig
+            zy = (win[1] - oy) * inv_sig
+            zz = (win[2] - oz) * inv_sig
+            s2 = zx * zx + zy * zy + zz * zz
+            amax = jnp.maximum(jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz))
+            gk = jnp.where(amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2))
+            if independent:
+                contrib = jnp.where(win[4] == otrk, win[3] * gk, 0.0)
+            else:
+                gk = jnp.where(win[4] != otrk, gk * id_p, gk)
+                contrib = win[3] * gk
+            ck_in = ck_in + jnp.sum(contrib, axis=0)
+        return ck_in
+
+    ck = jax.lax.fori_loop(0, side, body, jnp.zeros((_TH, _TW), jnp.float32))
+    ck_ref[:] = ck
+
+
+def pass_a_pallas(
+    cfg: MapConfig,
+    params: FilterParams,
+    px, py, pz, weff, trk,     # [S, H, W] table planes (weff = w * forgetting)
+    obs_x, obs_y, obs_z, inv_sigma, obs_trk,  # [H, W]
+    interpret: bool = False,
+):
+    """Raw per-pixel ck (before the valid mask / P_d / kappa), f32[H, W]."""
+    S = px.shape[0]
+    H, W = cfg.height, cfg.width
+    R = cfg.neighbor_half
+    HT = _cdiv(H, _TH) * _TH
+    WT = _cdiv(W, _TW) * _TW
+
+    tab = jnp.stack(
+        [px, py, pz, weff, trk.astype(jnp.float32)], axis=0
+    ).reshape(5 * S, H, W)
+    # Halo + tile-multiple padding.  Track pad = -1 never matches a real obs
+    # track; weight pad = 0 kills any residual contribution.
+    tab = jnp.pad(
+        tab, [(0, 0), (R, R + HT - H), (R, R + WT - W)], constant_values=0.0
+    )
+    pad_fix = jnp.zeros_like(tab[:1])  # placeholder to keep dtype (no-op)
+    del pad_fix
+    obs = jnp.stack(
+        [obs_x, obs_y, obs_z, inv_sigma, obs_trk.astype(jnp.float32)], axis=0
+    )
+    obs = _pad_to(obs, HT, WT, 0.0)
+
+    grid = (HT // _TH, WT // _TW)
+    kernel = functools.partial(
+        _pass_a_kernel,
+        S=S,
+        R=R,
+        id_p=float(params.id_transition_probability),
+        independent=bool(params.if_use_independent_filter),
+    )
+    ck = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((HT, WT), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((5, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TH, _TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((5 * S, _TH + 2 * R, _TW + 2 * R), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(tab, obs)
+    return ck[:H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Pass B: per-table-entry accumulation
+# ---------------------------------------------------------------------------
+
+
+def _pass_b_kernel(
+    obs_hbm,      # ANY [6, HT+2R, WT+2R]: ox, oy, oz, ov, otrk, ck_kappa
+    tab_ref,      # VMEM [5, S, TH, TW]: px, py, pz, trk_eff, ff_eff
+    sig_ref,      # VMEM [1, TH, TW]: inv sigma at the particle's pixel
+    acc_ref,      # VMEM out [S, TH, TW]
+    right_ref,    # VMEM out [S, TH, TW] (0/1 f32)
+    obs_vmem,     # scratch VMEM [6, TH+2R, TW+2R]
+    sem,
+    *,
+    S: int,
+    R: int,
+    id_p: float,
+    independent: bool,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    side = 2 * R + 1
+
+    dma = pltpu.make_async_copy(
+        obs_hbm.at[:, pl.ds(i * _TH, _TH + 2 * R), pl.ds(j * _TW, _TW + 2 * R)],
+        obs_vmem,
+        sem,
+    )
+    dma.start()
+
+    ppx = tab_ref[0]
+    ppy = tab_ref[1]
+    ppz = tab_ref[2]
+    ptrk = tab_ref[3]
+    pff = tab_ref[4]
+    inv_sig = sig_ref[0][None]
+
+    dma.wait()
+
+    def body(dm, carry):
+        acc, right = carry
+        band = obs_vmem[:, pl.ds(dm, _TH), :]           # [6, TH, TW+2R]
+        for dn in range(side):
+            w6 = band[:, :, dn : dn + _TW]               # [6, TH, TW]
+            zx = (ppx - w6[0][None]) * inv_sig
+            zy = (ppy - w6[1][None]) * inv_sig
+            zz = (ppz - w6[2][None]) * inv_sig
+            s2 = zx * zx + zy * zy + zz * zz
+            amax = jnp.maximum(jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz))
+            gk_raw = jnp.where(
+                amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
+            )
+            ov = w6[3][None]
+            otrk = w6[4][None]
+            ckk = w6[5][None]
+            same = ptrk == otrk
+            if independent:
+                gk = jnp.where(same, gk_raw, 0.0) * pff * ov
+            else:
+                right = jnp.maximum(
+                    right,
+                    jnp.where(
+                        same & (gk_raw > MIN_RIGHTLY_UPDATED_PDF), ov, 0.0
+                    ),
+                )
+                gk = jnp.where(same, gk_raw, gk_raw * id_p) * pff * ov
+            acc = acc + gk / ckk
+        return acc, right
+
+    acc, right = jax.lax.fori_loop(
+        0,
+        side,
+        body,
+        (
+            jnp.zeros((S, _TH, _TW), jnp.float32),
+            jnp.zeros((S, _TH, _TW), jnp.float32),
+        ),
+    )
+    acc_ref[:] = acc
+    right_ref[:] = right
+
+
+def pass_b_pallas(
+    cfg: MapConfig,
+    params: FilterParams,
+    px, py, pz,            # [S, H, W] particle positions
+    trk_eff,               # [S, H, W] i32: track id, or -2 where slot empty
+    ff_eff,                # [S, H, W] f32: forgetting factor, 0 where empty
+    inv_sigma_p,           # [H, W] f32: 1/sigma at the particle's own pixel
+    obs_x, obs_y, obs_z,   # [H, W]
+    obs_valid,             # bool[H, W]
+    obs_trk,               # i32[H, W]
+    ck_kappa,              # f32[H, W]
+    interpret: bool = False,
+):
+    """Returns (acc, right) as f32[S, H, W] (right is a 0/1 indicator)."""
+    S = px.shape[0]
+    H, W = cfg.height, cfg.width
+    R = cfg.neighbor_half
+    HT = _cdiv(H, _TH) * _TH
+    WT = _cdiv(W, _TW) * _TW
+
+    obs = jnp.stack(
+        [
+            obs_x,
+            obs_y,
+            obs_z,
+            obs_valid.astype(jnp.float32),
+            obs_trk.astype(jnp.float32),
+            ck_kappa,
+        ],
+        axis=0,
+    )
+    # Padding: valid=0 kills contributions; ck_kappa pad=1 avoids div-by-0;
+    # track pad=-1 (cannot equal trk_eff's -2 empty sentinel).
+    pads = jnp.array([0.0, 0.0, 0.0, 0.0, -1.0, 1.0], jnp.float32)
+    obs = jnp.pad(obs, [(0, 0), (R, R + HT - H), (R, R + WT - W)]) + (
+        jnp.pad(
+            jnp.zeros((6, H, W), jnp.float32),
+            [(0, 0), (R, R + HT - H), (R, R + WT - W)],
+            constant_values=1.0,
+        )
+        * pads[:, None, None]
+    )
+
+    tab = jnp.stack(
+        [px, py, pz, trk_eff.astype(jnp.float32), ff_eff], axis=0
+    )
+    tab = _pad_to(tab, HT, WT, 0.0)
+    sig = _pad_to(inv_sigma_p[None], HT, WT, 1.0)
+
+    grid = (HT // _TH, WT // _TW)
+    kernel = functools.partial(
+        _pass_b_kernel,
+        S=S,
+        R=R,
+        id_p=float(params.id_transition_probability),
+        independent=bool(params.if_use_independent_filter),
+    )
+    acc, right = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, HT, WT), jnp.float32),
+            jax.ShapeDtypeStruct((S, HT, WT), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((5, S, _TH, _TW), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((6, _TH + 2 * R, _TW + 2 * R), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(obs, tab, sig)
+    return acc[:, :H, :W], right[:, :H, :W]

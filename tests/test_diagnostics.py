@@ -38,7 +38,9 @@ def test_no_overflow_at_default_capacity():
 
 
 def test_block_overflow_counter_fires():
-    # One active block allowed: a full-image wall spans many blocks.
+    # One observe-side active block allowed: the birth path (its own
+    # max_birth_blocks cap) still populates many blocks with particles, so
+    # the observe working set must overflow.
     diag = _run(tiny_test_config(max_active_blocks=1))
     assert int(diag.block_overflow) > 0
 
@@ -61,5 +63,5 @@ def test_corner_overflow_counter_fires():
 
 
 def test_birth_overflow_counter_fires():
-    diag = _run(tiny_test_config(max_active_blocks=1))
+    diag = _run(tiny_test_config(max_birth_blocks=1))
     assert int(diag.birth_overflow) > 0
