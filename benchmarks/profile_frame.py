@@ -127,12 +127,18 @@ def profile(name, cfg, params, synth, warm_frames=6):
         "render_occupancy",
         lambda s: render_occupancy(cfg, s, params.occupancy_threshold), st2)
 
-    # ground truth: the fused full step (one dispatch)
-    def full(st, fr):
-        st, r, dg = dsp._step(st, fr)
-        return st, r, dg
-
-    (state_n, r, dg), full_ms = timeit("full_step", full, state, frame, iters=10)
+    # ground truth: the fused full step (one dispatch).  The step donates its
+    # state argument, so time a sequential chain instead of reusing one state.
+    st = dsp.state
+    st, r, dg = dsp._step(st, frame)
+    jax.block_until_ready(st.particles.weight)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, r, dg = dsp._step(st, frame)
+    jax.block_until_ready(st.particles.weight)
+    full_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"| {'full_step':<22} | {full_ms:9.2f} |")
     print(f"\nvisible={int(np.asarray(dg.visible_count))} "
           f"born={int(np.asarray(dg.born_count))} "
           f"full={full_ms:.1f} ms -> {1e3/full_ms:.2f} fps")

@@ -197,6 +197,11 @@ class MapConfig:
     #: one frame — see ops/phd.py docstring).
     phd_pixel_table_slots: int = 12
 
+    #: Run the PHD stencil passes as fused Pallas kernels when the default
+    #: backend is TPU (ops/phd_pallas.py).  The XLA stencil is the fallback
+    #: (and the oracle the kernels are tested against).
+    use_pallas_phd: bool = True
+
     #: Max per-frame newborn candidates actually considered is
     #: H*W*nb_ptc_num_per_point (dense, no cap needed); this caps the number
     #: of *moving-object* particles gathered for rigid moves per frame.

@@ -256,72 +256,97 @@ def _insert_core(
         alive = bst != STATUS_INVALID
 
     # ---- first-vacant merge: vacant slot with vacant-rank r takes staged
-    # candidate r of its voxel (dense K x K selects) ----
-    shape3 = (blocks.ids.shape[0], bv, K)
-    vac3 = (~alive).reshape(shape3)
-    vrank3 = jnp.cumsum(vac3.astype(jnp.int32), axis=2) - 1
-    vac_count = jnp.sum(vac3.astype(jnp.int32), axis=2)
+    # candidate r of its voxel.  All ops stay on the 2-D [A, spb] layout —
+    # the earlier [A, bv, K] formulation put the size-K axis on the 128-lane
+    # dimension and cost ~100 ms/frame in relayouts (round-3 bisection).
+    a_rows = blocks.ids.shape[0]
 
-    s3 = lambda a: a.reshape(shape3)
-    i_px, i_py, i_pz = s3(in_px), s3(in_py), s3(in_pz)
-    i_w, i_stamp, i_meta = s3(in_w), s3(in_stamp), s3(in_meta)
+    def lane_shift(x, s):
+        """out[:, j] = x[:, j - s]; pad values are never selected (shifts
+        only ever read within the same voxel's K lanes)."""
+        if s == 0:
+            return x
+        pad = jnp.zeros((a_rows, abs(s)), x.dtype)
+        if s > 0:
+            return jnp.concatenate([pad, x[:, : spb - s]], axis=1)
+        return jnp.concatenate([x[:, -s:], pad], axis=1)
 
-    o_px, o_py, o_pz = s3(bpx), s3(bpy), s3(bpz)
-    o_w, o_lab, o_trk = s3(bw), s3(blab), s3(btrk)
-    o_st, o_stamp, o_fg = s3(bst), s3(bstamp), s3(bfg)
+    d_lane = jax.lax.broadcasted_iota(jnp.int32, (a_rows, spb), 1) % K
+    vac = ~alive
+    vc = vac.astype(jnp.int32)
+    run = vc
+    for o in range(1, K):
+        run = run + jnp.where(d_lane >= o, lane_shift(vc, o), 0)
+    vrank = run - 1  # vacant-rank of lane j within its voxel (where vac)
 
-    cols = {k: [] for k in ("px", "py", "pz", "w", "lab", "trk", "st", "stamp", "fg")}
-    for s in range(K):
-        vr_s = vrank3[..., s]
-        take = jnp.zeros(shape3[:2], bool)
-        c_px = jnp.zeros(shape3[:2], jnp.float32)
-        c_py = jnp.zeros(shape3[:2], jnp.float32)
-        c_pz = jnp.zeros(shape3[:2], jnp.float32)
-        c_w = jnp.zeros(shape3[:2], jnp.float32)
-        c_stamp = jnp.zeros(shape3[:2], jnp.int32)
-        c_m = jnp.zeros(shape3[:2], jnp.int32)
+    # Shifted copies of the staged fields, once per distinct shift amount.
+    shifts = {s: {} for s in range(-(K - 1), K)}
+    staged = dict(px=in_px, py=in_py, pz=in_pz, w=in_w, stamp=in_stamp, meta=in_meta)
+    hits = []  # (hit mask, shift) per (dd, c)
+    for dd in range(K):
         for c in range(K):
-            hit = vac3[..., s] & (vr_s == c) & (i_meta[..., c] >= 0)
-            take |= hit
-            c_px = jnp.where(hit, i_px[..., c], c_px)
-            c_py = jnp.where(hit, i_py[..., c], c_py)
-            c_pz = jnp.where(hit, i_pz[..., c], c_pz)
-            c_w = jnp.where(hit, i_w[..., c], c_w)
-            c_stamp = jnp.where(hit, i_stamp[..., c], c_stamp)
-            c_m = jnp.where(hit, i_meta[..., c], c_m)
-        cols["px"].append(jnp.where(take, c_px, o_px[..., s]))
-        cols["py"].append(jnp.where(take, c_py, o_py[..., s]))
-        cols["pz"].append(jnp.where(take, c_pz, o_pz[..., s]))
-        cols["w"].append(jnp.where(take, c_w, o_w[..., s]))
-        cols["stamp"].append(jnp.where(take, c_stamp, o_stamp[..., s]))
-        cols["trk"].append(jnp.where(take, c_m & 0xFFFF, o_trk[..., s]))
-        cols["lab"].append(jnp.where(take, (c_m >> 16) & 0xFF, o_lab[..., s]))
-        cols["st"].append(jnp.where(take, (c_m >> 24) & 0x7, o_st[..., s]))
-        cols["fg"].append(jnp.where(take, (c_m >> 27) & 0x7, o_fg[..., s]))
+            s = dd - c
+            if "meta" not in shifts[s]:
+                shifts[s]["meta"] = lane_shift(in_meta, s)
+            hit = (
+                vac
+                & (d_lane == dd)
+                & (vrank == c)
+                & (shifts[s]["meta"] >= 0)
+            )
+            hits.append((hit, s))
 
-    col = lambda k: jnp.stack(cols[k], axis=-1).reshape(shape3[0], spb)
+    took = jnp.zeros((a_rows, spb), bool)
+    for hit, _ in hits:
+        took = took | hit
+
+    def merge(field_name):
+        sel = jnp.zeros((a_rows, spb), staged[field_name].dtype)
+        for hit, s in hits:
+            if field_name not in shifts[s]:
+                shifts[s][field_name] = lane_shift(staged[field_name], s)
+            sel = jnp.where(hit, shifts[s][field_name], sel)
+        return sel
+
+    m_px, m_py, m_pz = merge("px"), merge("py"), merge("pz")
+    m_w, m_stamp, m_meta = merge("w"), merge("stamp"), merge("meta")
+
+    n_px = jnp.where(took, m_px, bpx)
+    n_py = jnp.where(took, m_py, bpy)
+    n_pz = jnp.where(took, m_pz, bpz)
+    n_w = jnp.where(took, m_w, bw)
+    n_stamp = jnp.where(took, m_stamp, bstamp)
+    n_trk = jnp.where(took, m_meta & 0xFFFF, btrk)
+    n_lab = jnp.where(took, (m_meta >> 16) & 0xFF, blab)
+    n_st = jnp.where(took, (m_meta >> 24) & 0x7, bst)
+    n_fg = jnp.where(took, (m_meta >> 27) & 0x7, bfg)
 
     new = particles.replace(
-        px=scatter_rows(particles.px, blocks, bv, col("px")),
-        py=scatter_rows(particles.py, blocks, bv, col("py")),
-        pz=scatter_rows(particles.pz, blocks, bv, col("pz")),
-        weight=scatter_rows(particles.weight, blocks, bv, col("w")),
-        label=scatter_rows(particles.label, blocks, bv, col("lab")),
-        track=scatter_rows(particles.track, blocks, bv, col("trk")),
-        status=scatter_rows(particles.status, blocks, bv, col("st")),
-        stamp=scatter_rows(particles.stamp, blocks, bv, col("stamp")),
-        forget=scatter_rows(particles.forget, blocks, bv, col("fg")),
+        px=scatter_rows(particles.px, blocks, bv, n_px),
+        py=scatter_rows(particles.py, blocks, bv, n_py),
+        pz=scatter_rows(particles.pz, blocks, bv, n_pz),
+        weight=scatter_rows(particles.weight, blocks, bv, n_w),
+        label=scatter_rows(particles.label, blocks, bv, n_lab),
+        track=scatter_rows(particles.track, blocks, bv, n_trk),
+        status=scatter_rows(particles.status, blocks, bv, n_st),
+        stamp=scatter_rows(particles.stamp, blocks, bv, n_stamp),
+        forget=scatter_rows(particles.forget, blocks, bv, n_fg),
     )
 
-    # Staged candidate c of a voxel is accepted iff c < vacancy count.
-    crank = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
-    accepted_staged = (i_meta >= 0) & (crank < vac_count[..., None])
+    # Staged candidate r (= its lane's slot index) is accepted iff
+    # r < the voxel's vacancy count (run at the voxel's last lane).
+    vcount = jnp.zeros((a_rows, spb), jnp.int32)
+    for dd in range(K):
+        vcount = jnp.where(
+            d_lane == dd, lane_shift(run, -(K - 1 - dd)), vcount
+        )
+    accepted_staged = (in_meta >= 0) & (d_lane < vcount)
     accepted_count = jnp.sum(accepted_staged.astype(jnp.int32))
 
     return InsertResult(
         particles=new,
         accepted_count=accepted_count,
-        accepted_staged=accepted_staged.reshape(shape3[0], spb),
+        accepted_staged=accepted_staged,
         staged_src=staged_src,
         block_overflow=blocks.overflow,
     )

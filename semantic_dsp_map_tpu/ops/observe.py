@@ -50,7 +50,7 @@ from .blocks import (
     select_blocks,
 )
 from .geometry import project_to_image, project_to_image_xyz
-from .phd import stencil_pass_a, stencil_pass_b, table_from_entries
+from .phd import stencil_passes, table_from_entries
 from .projection import LabeledCloud
 
 
@@ -170,8 +170,7 @@ def observe_and_update(
         cfg, jnp.where(visible, pix_s, HW), vrank, keep,
         px_s, py_s, pz_s, w_s, meta_s >> 8, meta_s & 0xFF,
     )
-    ck_kappa = stencil_pass_a(cfg, params, table, cloud)
-    new_w_t, new_f_t = stencil_pass_b(cfg, params, table, cloud, ck_kappa)
+    ck_kappa, new_w_t, new_f_t = stencil_passes(cfg, params, table, cloud)
 
     dest = jnp.where(keep, jnp.minimum(vrank, S - 1) * HW + pix_s, 0)
     nw_e = new_w_t.reshape(-1)[dest]

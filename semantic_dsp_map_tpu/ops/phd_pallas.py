@@ -47,6 +47,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _round_up(a: int, m: int) -> int:
+    return _cdiv(a, m) * m
+
+
 def _pad_to(a, h: int, w: int, fill):
     """Pad the trailing two dims of ``a`` up to (h, w) with ``fill``."""
     ph = h - a.shape[-2]
@@ -69,6 +73,8 @@ def _pass_a_kernel(
     *,
     S: int,
     R: int,
+    th: int,
+    tw: int,
     id_p: float,
     independent: bool,
 ):
@@ -76,8 +82,10 @@ def _pass_a_kernel(
     j = pl.program_id(1)
     side = 2 * R + 1
 
+    sh = _round_up(th + 2 * R, 8)
+    sw = _round_up(tw + 2 * R, 128)
     dma = pltpu.make_async_copy(
-        tab_hbm.at[:, pl.ds(i * _TH, _TH + 2 * R), pl.ds(j * _TW, _TW + 2 * R)],
+        tab_hbm.at[:, pl.ds(i * th, sh), pl.ds(j * tw, sw)],
         tab_vmem,
         sem,
     )
@@ -91,12 +99,14 @@ def _pass_a_kernel(
 
     dma.wait()
 
-    def body(dm, ck):
-        # One sublane-dynamic band load per dm; lane shifts below are static.
-        band = tab_vmem[:, pl.ds(dm, _TH), :]           # [5S, TH, TW+2R]
-        ck_in = ck
+    # Static double loop: Mosaic requires slice offsets it can prove aligned
+    # or fully static (dynamic sublane offsets reject with "cannot statically
+    # prove index is a multiple of 8"), so every (dm, dn) is unrolled.
+    ck = jnp.zeros((th, tw), jnp.float32)
+    for dm in range(side):
+        band = tab_vmem[:, dm : dm + th, :]             # [5S, th, tw+2R]
         for dn in range(side):
-            win = band[:, :, dn : dn + _TW].reshape(5, S, _TH, _TW)
+            win = band[:, :, dn : dn + tw].reshape(5, S, th, tw)
             zx = (win[0] - ox) * inv_sig
             zy = (win[1] - oy) * inv_sig
             zz = (win[2] - oz) * inv_sig
@@ -108,10 +118,7 @@ def _pass_a_kernel(
             else:
                 gk = jnp.where(win[4] != otrk, gk * id_p, gk)
                 contrib = win[3] * gk
-            ck_in = ck_in + jnp.sum(contrib, axis=0)
-        return ck_in
-
-    ck = jax.lax.fori_loop(0, side, body, jnp.zeros((_TH, _TW), jnp.float32))
+            ck = ck + jnp.sum(contrib, axis=0)
     ck_ref[:] = ck
 
 
@@ -121,34 +128,40 @@ def pass_a_pallas(
     px, py, pz, weff, trk,     # [S, H, W] table planes (weff = w * forgetting)
     obs_x, obs_y, obs_z, inv_sigma, obs_trk,  # [H, W]
     interpret: bool = False,
+    th: int = _TH,
+    tw: int = _TW,
 ):
     """Raw per-pixel ck (before the valid mask / P_d / kappa), f32[H, W]."""
     S = px.shape[0]
     H, W = cfg.height, cfg.width
     R = cfg.neighbor_half
-    HT = _cdiv(H, _TH) * _TH
-    WT = _cdiv(W, _TW) * _TW
+    HT = _cdiv(H, th) * th
+    WT = _cdiv(W, tw) * tw
 
     tab = jnp.stack(
         [px, py, pz, weff, trk.astype(jnp.float32)], axis=0
     ).reshape(5 * S, H, W)
-    # Halo + tile-multiple padding.  Track pad = -1 never matches a real obs
-    # track; weight pad = 0 kills any residual contribution.
+    # Halo + tile-multiple padding, all zeros: the zero weight plane kills
+    # any halo/pad contribution regardless of the other planes' pad values.
+    sh = _round_up(th + 2 * R, 8)
+    sw = _round_up(tw + 2 * R, 128)
+    Hp = HT - th + sh
+    Wp = WT - tw + sw
     tab = jnp.pad(
-        tab, [(0, 0), (R, R + HT - H), (R, R + WT - W)], constant_values=0.0
+        tab, [(0, 0), (R, Hp - H - R), (R, Wp - W - R)], constant_values=0.0
     )
-    pad_fix = jnp.zeros_like(tab[:1])  # placeholder to keep dtype (no-op)
-    del pad_fix
     obs = jnp.stack(
         [obs_x, obs_y, obs_z, inv_sigma, obs_trk.astype(jnp.float32)], axis=0
     )
     obs = _pad_to(obs, HT, WT, 0.0)
 
-    grid = (HT // _TH, WT // _TW)
+    grid = (HT // th, WT // tw)
     kernel = functools.partial(
         _pass_a_kernel,
         S=S,
         R=R,
+        th=th,
+        tw=tw,
         id_p=float(params.id_transition_probability),
         independent=bool(params.if_use_independent_filter),
     )
@@ -158,11 +171,11 @@ def pass_a_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((5, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TH, _TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((5 * S, _TH + 2 * R, _TW + 2 * R), jnp.float32),
+            pltpu.VMEM((5 * S, sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -186,6 +199,8 @@ def _pass_b_kernel(
     *,
     S: int,
     R: int,
+    th: int,
+    tw: int,
     id_p: float,
     independent: bool,
 ):
@@ -193,8 +208,10 @@ def _pass_b_kernel(
     j = pl.program_id(1)
     side = 2 * R + 1
 
+    sh = _round_up(th + 2 * R, 8)
+    sw = _round_up(tw + 2 * R, 128)
     dma = pltpu.make_async_copy(
-        obs_hbm.at[:, pl.ds(i * _TH, _TH + 2 * R), pl.ds(j * _TW, _TW + 2 * R)],
+        obs_hbm.at[:, pl.ds(i * th, sh), pl.ds(j * tw, sw)],
         obs_vmem,
         sem,
     )
@@ -209,11 +226,12 @@ def _pass_b_kernel(
 
     dma.wait()
 
-    def body(dm, carry):
-        acc, right = carry
-        band = obs_vmem[:, pl.ds(dm, _TH), :]           # [6, TH, TW+2R]
+    acc = jnp.zeros((S, th, tw), jnp.float32)
+    right = jnp.zeros((S, th, tw), jnp.float32)
+    for dm in range(side):
+        band = obs_vmem[:, dm : dm + th, :]             # [6, th, tw+2R]
         for dn in range(side):
-            w6 = band[:, :, dn : dn + _TW]               # [6, TH, TW]
+            w6 = band[:, :, dn : dn + tw]                # [6, th, tw]
             zx = (ppx - w6[0][None]) * inv_sig
             zy = (ppy - w6[1][None]) * inv_sig
             zz = (ppz - w6[2][None]) * inv_sig
@@ -237,17 +255,6 @@ def _pass_b_kernel(
                 )
                 gk = jnp.where(same, gk_raw, gk_raw * id_p) * pff * ov
             acc = acc + gk / ckk
-        return acc, right
-
-    acc, right = jax.lax.fori_loop(
-        0,
-        side,
-        body,
-        (
-            jnp.zeros((S, _TH, _TW), jnp.float32),
-            jnp.zeros((S, _TH, _TW), jnp.float32),
-        ),
-    )
     acc_ref[:] = acc
     right_ref[:] = right
 
@@ -264,13 +271,15 @@ def pass_b_pallas(
     obs_trk,               # i32[H, W]
     ck_kappa,              # f32[H, W]
     interpret: bool = False,
+    th: int = _TH,
+    tw: int = _TW,
 ):
     """Returns (acc, right) as f32[S, H, W] (right is a 0/1 indicator)."""
     S = px.shape[0]
     H, W = cfg.height, cfg.width
     R = cfg.neighbor_half
-    HT = _cdiv(H, _TH) * _TH
-    WT = _cdiv(W, _TW) * _TW
+    HT = _cdiv(H, th) * th
+    WT = _cdiv(W, tw) * tw
 
     obs = jnp.stack(
         [
@@ -285,13 +294,14 @@ def pass_b_pallas(
     )
     # Padding: valid=0 kills contributions; ck_kappa pad=1 avoids div-by-0;
     # track pad=-1 (cannot equal trk_eff's -2 empty sentinel).
+    sh = _round_up(th + 2 * R, 8)
+    sw = _round_up(tw + 2 * R, 128)
+    Hp = HT - th + sh
+    Wp = WT - tw + sw
     pads = jnp.array([0.0, 0.0, 0.0, 0.0, -1.0, 1.0], jnp.float32)
-    obs = jnp.pad(obs, [(0, 0), (R, R + HT - H), (R, R + WT - W)]) + (
-        jnp.pad(
-            jnp.zeros((6, H, W), jnp.float32),
-            [(0, 0), (R, R + HT - H), (R, R + WT - W)],
-            constant_values=1.0,
-        )
+    padcfg = [(0, 0), (R, Hp - H - R), (R, Wp - W - R)]
+    obs = jnp.pad(obs, padcfg) + (
+        jnp.pad(jnp.zeros((6, H, W), jnp.float32), padcfg, constant_values=1.0)
         * pads[:, None, None]
     )
 
@@ -301,11 +311,13 @@ def pass_b_pallas(
     tab = _pad_to(tab, HT, WT, 0.0)
     sig = _pad_to(inv_sigma_p[None], HT, WT, 1.0)
 
-    grid = (HT // _TH, WT // _TW)
+    grid = (HT // th, WT // tw)
     kernel = functools.partial(
         _pass_b_kernel,
         S=S,
         R=R,
+        th=th,
+        tw=tw,
         id_p=float(params.id_transition_probability),
         independent=bool(params.if_use_independent_filter),
     )
@@ -318,15 +330,15 @@ def pass_b_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((5, S, _TH, _TW), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, S, th, tw), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((S, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((6, _TH + 2 * R, _TW + 2 * R), jnp.float32),
+            pltpu.VMEM((6, sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
