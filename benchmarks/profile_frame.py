@@ -72,6 +72,23 @@ def profile(name, cfg, params, synth, warm_frames=6):
     frame = build_frame_input(cfg, registry, d, m, p, q, t * 0.1)
     frame = jax.device_put(frame)
 
+    # ground truth FIRST (one dispatch; donation-safe sequential chain) so the
+    # later per-stage copies don't have to coexist with it in HBM.
+    st = dsp.state
+    st, r, dg = dsp._step(st, frame)
+    jax.block_until_ready(st.particles.weight)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, r, dg = dsp._step(st, frame)
+    jax.block_until_ready(st.particles.weight)
+    full_ms = (time.perf_counter() - t0) / iters * 1e3
+    visible = int(np.asarray(dg.visible_count))
+    born = int(np.asarray(dg.born_count))
+    state = st
+    dsp.state = None  # drop the stale reference
+    del st, r, dg
+
     gt = state.global_time + 1
     rng, k_obj, k_move, k_birth = jax.random.split(state.rng, 4)
     r_wc, t_wc, r_cw, t_cw = camera_matrices(frame.cam_pos, frame.cam_quat)
@@ -108,18 +125,21 @@ def profile(name, cfg, params, synth, warm_frames=6):
         cfg, params, pt, s, o, gt, k, max_movable))
     (particles, moved, _ov), _ = timeit(
         "move_and_cleanup", mc_fn, state.particles, scroll, objects, k_move)
+    state = state.replace(particles=None)  # free the pre-move copy
 
     # 4+5. observe (visibility + PHD fused)
     (particles2, vst, od), _ = timeit(
         "observe_and_update", observe_and_update, cfg, params,
         particles, scroll, state.voxel_stamp, cloud, frame.depth,
         r_cw, t_cw, gt)
+    del particles
 
     # 6. birth + resample
-    (particles3, born, bov, _c), _ = timeit(
+    (particles3, born_b, bov, _c), _ = timeit(
         "birth_and_resample",
         jax.jit(lambda pt, s, c, k: birth_and_resample(cfg, params, pt, s, c, gt, k)),
         particles2, scroll, cloud, k_birth)
+    del particles2
 
     # 7. render
     st2 = state.replace(particles=particles3, voxel_stamp=vst, scroll=scroll)
@@ -127,20 +147,8 @@ def profile(name, cfg, params, synth, warm_frames=6):
         "render_occupancy",
         lambda s: render_occupancy(cfg, s, params.occupancy_threshold), st2)
 
-    # ground truth: the fused full step (one dispatch).  The step donates its
-    # state argument, so time a sequential chain instead of reusing one state.
-    st = dsp.state
-    st, r, dg = dsp._step(st, frame)
-    jax.block_until_ready(st.particles.weight)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        st, r, dg = dsp._step(st, frame)
-    jax.block_until_ready(st.particles.weight)
-    full_ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"| {'full_step':<22} | {full_ms:9.2f} |")
-    print(f"\nvisible={int(np.asarray(dg.visible_count))} "
-          f"born={int(np.asarray(dg.born_count))} "
+    print(f"\nvisible={visible} born={born} "
           f"full={full_ms:.1f} ms -> {1e3/full_ms:.2f} fps")
     return full_ms
 

@@ -104,6 +104,10 @@ class FilterParams:
     if_consider_depth_noise: bool = False
     if_use_independent_filter: bool = False
     if_use_template_matching: bool = False
+    #: Use the 4-neighborhood denoise/inference occupancy reduction
+    #: (operations.h:457-600).  The reference ships this variant as dead code
+    #: (no call site, no YAML key); exposed here for parity/experiments.
+    if_use_neighbor_smoothed_occupancy: bool = False
     # Pignistic probability is effectively dead in the reference (aborted as
     # "TOO SLOW", semantic_dsp_map.h:1250-1253); kept for config parity only.
     if_use_pignistic_probability: bool = False
@@ -382,6 +386,11 @@ def zed2_config(**overrides) -> MapConfig:
         boost_mode=True,
         movement_mode=MOVEMENT_BAYESIAN,
         keypoint_mode=KEYPOINTS_BBOX3D,
+        # Right-sized work buffers for the 524k-voxel grid: every element
+        # gather/scatter runs at ~6-11 ns/element (PROFILE_r02.md), so an
+        # oversized compact-entry cap costs real milliseconds.  Overflow is
+        # never silent (StepDiagnostics.entry_overflow).
+        max_table_entries=1 << 18,
     )
     base.update(overrides)
     return MapConfig(**base)

@@ -103,21 +103,18 @@ def rasterize_masks(
     return raster
 
 
-def build_frame_input(
+def _ingest(
     cfg: MapConfig,
     registry: LabelRegistry,
     depth: np.ndarray,
     masks: Sequence[MaskKpts],
-    cam_pos,
-    cam_quat,
-    time: float = 0.0,
-) -> FrameInput:
-    """Full per-frame ingest.
+):
+    """Shared host-side ingest: BOOST resize, track-id modulo reallocation
+    (semantic_dsp_map.h:178-186), mask fusion, fixed-shape instance arrays.
 
-    Applies the track-id modulo reallocation for overflowing movable ids
-    (semantic_dsp_map.h:178-186), BOOST resizing, mask fusion, the
-    track->label table, and packs keypoints into fixed-shape arrays.
-    """
+    Returns (depth f32[H,W], raster i32[H,W], inst dict with track/label/
+    kpts_curr/kpts_prev/kpts_count/bbox_min/bbox_max — the bboxes PER
+    INSTANCE [I, 3], margin applied)."""
     max_movable = registry.max_movable_instance_id
     masks = list(masks)
     for mk in masks:
@@ -130,32 +127,22 @@ def build_frame_input(
 
     raster = rasterize_masks(cfg, registry, masks)
 
-    # track -> label table: reserved static ids map via the registry; movable
-    # ids observed this frame map to their label; anything else is Background
-    # (label 0), matching the reference's default-inserting map lookup
-    # (pointcloud_tools.h:275-282).
-    table = np.zeros(65536, dtype=np.int32)
-    for label, inst in registry.static_label_to_instance.items():
-        lid = registry.label_to_id.get(label, 0)
-        table[inst] = lid
-
     I, Kp = cfg.max_instances_per_frame, cfg.max_keypoints
-    inst_valid = np.zeros(I, bool)
-    inst_track = np.zeros(I, np.int32)
-    inst_label = np.full(I, -1, np.int32)
-    kpts_curr = np.zeros((I, Kp, 3), np.float32)
-    kpts_prev = np.zeros((I, Kp, 3), np.float32)
-    kpts_count = np.zeros(I, np.int32)
-    bbox_min = np.full((65536, 3), -np.inf, np.float32)
-    bbox_max = np.full((65536, 3), np.inf, np.float32)
-
+    inst = dict(
+        track=np.full(I, -1, np.int32),
+        label=np.full(I, -1, np.int32),
+        kpts_curr=np.zeros((I, Kp, 3), np.float32),
+        kpts_prev=np.zeros((I, Kp, 3), np.float32),
+        kpts_count=np.zeros(I, np.int32),
+        bbox_min=np.zeros((I, 3), np.float32),
+        bbox_max=np.zeros((I, 3), np.float32),
+        has_bbox=np.zeros(I, bool),
+    )
     slot = 0
     for mk in masks:
         if mk.label == "static":
             continue
         lid = registry.label_to_id.get(mk.label, -1)
-        if 0 <= mk.track_id < 65536 and lid >= 0:
-            table[mk.track_id] = lid
         # kpts size sanity (src/mapping.cpp:243-247): drop mismatched entries.
         kc = np.asarray(mk.kpts_current, np.float32).reshape(-1, 3) if mk.kpts_current is not None else np.zeros((0, 3), np.float32)
         kp = np.asarray(mk.kpts_previous, np.float32).reshape(-1, 3) if mk.kpts_previous is not None else np.zeros((0, 3), np.float32)
@@ -164,32 +151,144 @@ def build_frame_input(
         if slot >= I:
             continue
         n = min(kc.shape[0], Kp)
-        inst_valid[slot] = True
-        inst_track[slot] = mk.track_id
-        inst_label[slot] = lid
-        kpts_curr[slot, :n] = kc[:n]
-        kpts_prev[slot, : min(kp.shape[0], Kp)] = kp[:Kp]
-        kpts_count[slot] = n
-        # ZED2 bbox gate table (pointcloud_tools.h:178-199): keypoint AABB
-        # with a 1 m margin, keyed by track id.
+        inst["track"][slot] = mk.track_id
+        inst["label"][slot] = lid
+        inst["kpts_curr"][slot, :n] = kc[:n]
+        inst["kpts_prev"][slot, : min(kp.shape[0], Kp)] = kp[:Kp]
+        inst["kpts_count"][slot] = n
+        # ZED2 bbox gate (pointcloud_tools.h:178-199): keypoint AABB with a
+        # 1 m margin, keyed by track id.
         if cfg.keypoint_mode == KEYPOINTS_BBOX3D and n > 0 and 0 <= mk.track_id < 65536:
-            bbox_min[mk.track_id] = kc[:n].min(axis=0) - 1.0
-            bbox_max[mk.track_id] = kc[:n].max(axis=0) + 1.0
+            inst["bbox_min"][slot] = kc[:n].min(axis=0) - 1.0
+            inst["bbox_max"][slot] = kc[:n].max(axis=0) + 1.0
+            inst["has_bbox"][slot] = True
         slot += 1
+    return depth, raster, inst
+
+
+def static_label_table(registry: LabelRegistry) -> np.ndarray:
+    """track -> label base table: reserved static ids map via the registry,
+    everything else Background (pointcloud_tools.h:275-282)."""
+    table = np.zeros(65536, dtype=np.int32)
+    for label, instid in registry.static_label_to_instance.items():
+        lid = registry.label_to_id.get(label, 0)
+        table[instid] = lid
+    return table
+
+
+def build_frame_input(
+    cfg: MapConfig,
+    registry: LabelRegistry,
+    depth: np.ndarray,
+    masks: Sequence[MaskKpts],
+    cam_pos,
+    cam_quat,
+    time: float = 0.0,
+) -> FrameInput:
+    """Full per-frame ingest to the unpacked FrameInput (dense tables on
+    host).  The production transfer path is :func:`pack_frame` — one
+    contiguous buffer, with the dense tables rebuilt on device."""
+    depth, raster, inst = _ingest(cfg, registry, depth, masks)
+
+    table = static_label_table(registry)
+    bbox_min = np.full((65536, 3), -np.inf, np.float32)
+    bbox_max = np.full((65536, 3), np.inf, np.float32)
+    I = cfg.max_instances_per_frame
+    for slot in range(I):
+        tid = int(inst["track"][slot])
+        if tid < 0:
+            continue
+        if inst["label"][slot] >= 0 and 0 <= tid < 65536:
+            table[tid] = inst["label"][slot]
+        if inst["has_bbox"][slot]:
+            bbox_min[tid] = inst["bbox_min"][slot]
+            bbox_max[tid] = inst["bbox_max"][slot]
 
     return FrameInput(
         depth=depth,
         track_raster=raster,
         track_label_table=table,
-        inst_valid=inst_valid,
-        inst_track=inst_track,
-        inst_label=inst_label,
-        kpts_curr=kpts_curr,
-        kpts_prev=kpts_prev,
-        kpts_count=kpts_count,
+        inst_valid=inst["track"] >= 0,
+        inst_track=np.maximum(inst["track"], 0),
+        inst_label=inst["label"],
+        kpts_curr=inst["kpts_curr"],
+        kpts_prev=inst["kpts_prev"],
+        kpts_count=inst["kpts_count"],
         inst_bbox_min=bbox_min,
         inst_bbox_max=bbox_max,
         cam_pos=np.asarray(cam_pos, np.float32).reshape(3),
         cam_quat=np.asarray(cam_quat, np.float32).reshape(4),
         time=np.float32(time),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed single-buffer transfer path
+# ---------------------------------------------------------------------------
+#
+# Host -> device transfers on this platform pay ~tens of ms PER ARRAY plus
+# low bandwidth, so the 14-leaf FrameInput costs ~180 ms/frame while the
+# mapping step itself costs ~75 ms (round-3 measurements).  The production
+# path therefore ships ONE contiguous int32 buffer per frame and rebuilds
+# the dense lookup tables on device (ops in map.unpack_frame).
+#
+# Word layout (all 4-byte words; f32 values bitcast):
+#   [0:3]   cam_pos, [3:7] cam_quat, [7] time
+#   [8 : 8+HW]            depth f32 bits
+#   [.. : ..+ceil(HW/2)]  track raster, two u16 per word (lo, hi)
+#   [.. : ..+I]           inst_track (-1 = empty slot)
+#   [.. : ..+I]           inst_label
+#   [.. : ..+I]           kpts_count
+#   [.. : ..+I]           has_bbox (0/1)
+#   [.. : ..+I*3]         bbox_min f32 bits   (margin applied)
+#   [.. : ..+I*3]         bbox_max f32 bits
+#   [.. : ..+I*Kp*3]      kpts_curr f32 bits
+#   [.. : ..+I*Kp*3]      kpts_prev f32 bits
+
+
+def packed_frame_words(cfg: MapConfig) -> int:
+    HW = cfg.height * cfg.width
+    I, Kp = cfg.max_instances_per_frame, cfg.max_keypoints
+    return 8 + HW + (HW + 1) // 2 + 4 * I + 6 * I + 2 * I * Kp * 3
+
+
+def pack_frame(
+    cfg: MapConfig,
+    registry: LabelRegistry,
+    depth: np.ndarray,
+    masks: Sequence[MaskKpts],
+    cam_pos,
+    cam_quat,
+    time: float = 0.0,
+) -> np.ndarray:
+    """One-buffer frame encoding (int32[packed_frame_words])."""
+    depth, raster, inst = _ingest(cfg, registry, depth, masks)
+    HW = cfg.height * cfg.width
+    I, Kp = cfg.max_instances_per_frame, cfg.max_keypoints
+
+    head = np.empty(8, np.float32)
+    head[0:3] = np.asarray(cam_pos, np.float32).reshape(3)
+    head[3:7] = np.asarray(cam_quat, np.float32).reshape(4)
+    head[7] = np.float32(time)
+
+    r = raster.reshape(-1).astype(np.uint32)
+    if HW % 2:
+        r = np.concatenate([r, np.zeros(1, np.uint32)])
+    rp = (r[0::2] | (r[1::2] << 16)).astype(np.uint32)
+
+    parts = [
+        head.view(np.int32),
+        depth.reshape(-1).view(np.int32),
+        rp.view(np.int32),
+        inst["track"],
+        inst["label"],
+        inst["kpts_count"],
+        inst["has_bbox"].astype(np.int32),
+        inst["bbox_min"].reshape(-1).view(np.int32),
+        inst["bbox_max"].reshape(-1).view(np.int32),
+        inst["kpts_curr"].reshape(-1).view(np.int32),
+        inst["kpts_prev"].reshape(-1).view(np.int32),
+    ]
+    buf = np.concatenate(parts)
+    assert buf.size == packed_frame_words(cfg), (buf.size, packed_frame_words(cfg))
+    return buf

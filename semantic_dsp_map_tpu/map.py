@@ -28,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import FilterParams, KEYPOINTS_BBOX3D, MapConfig
-from .frontend import FrameInput, MaskKpts, build_frame_input
+from .frontend import (
+    FrameInput,
+    MaskKpts,
+    build_frame_input,
+    pack_frame,
+    static_label_table,
+)
 from .labels import LabelRegistry
 from .objects import (
     ObservedInstances,
@@ -48,7 +54,7 @@ from .ops.blocks import (
 from .ops.geometry import camera_matrices
 from .ops.observe import observe_and_update
 from .ops.projection import generate_labeled_cloud
-from .ops.render import RenderResult, render_occupancy
+from .ops.render import RenderResult, render_occupancy, render_occupancy_smoothed
 from .state import MapState, Particles, STATUS_INVALID, clear_map_state, init_map_state
 
 
@@ -107,9 +113,24 @@ def _move_and_cleanup(
         # (semantic_dsp_map.h:616-669).
         mv_obj = mv_obj & ~objects.to_match_previous
 
-    # Per-particle ownership / moving masks: chunks of 8 object ids compared
-    # against the dense track array (fused broadcast-compare-reduce; element
-    # gathers on [V, K] run at scalar rate and are avoided).
+    # Ownership / moving only matter for particles carrying a MOVABLE track
+    # id — a tiny subset of the state — so the object-id comparisons run on
+    # a block working set, not the full [V, K] domain (a dense [V, K, 8]
+    # broadcast cost ~160 ms/frame at VKITTI2 scale, round-3 bisection).
+    track = particles.track
+    movable_p = alive & (track >= 0) & (track <= max_movable)
+
+    blocks = select_blocks(mask_to_block_mask(movable_p, bv), A)
+    rv = row_valid(blocks)
+    g = lambda f: gather_rows(f, blocks, bv)
+    btrk = g(track)
+    bst = g(particles.status)
+    bstamp = g(particles.stamp)
+    baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+    balive = (bst != STATUS_INVALID) & (bstamp >= baxis)
+    bmovable = balive & (btrk >= 0) & (btrk <= max_movable) & rv[:, None]
+
+    # Chunked object-id compare on the working set ([A, spb, 8] broadcast).
     CH = 8
     n_chunks = (O + CH - 1) // CH
     pad = n_chunks * CH - O
@@ -117,38 +138,32 @@ def _move_and_cleanup(
     own_p = jnp.concatenate([objects.valid, jnp.zeros(pad, bool)])
     mv_p = jnp.concatenate([mv_obj, jnp.zeros(pad, bool)])
 
-    track = particles.track
-
     def chunk_body(i, carry):
         owned, moving = carry
         ids = jax.lax.dynamic_slice(ids_p, (i * CH,), (CH,))
         ow = jax.lax.dynamic_slice(own_p, (i * CH,), (CH,))
         mv = jax.lax.dynamic_slice(mv_p, (i * CH,), (CH,))
-        eq = track[:, :, None] == ids
+        eq = btrk[:, :, None] == ids
         owned = owned | jnp.any(eq & ow, axis=-1)
         moving = moving | jnp.any(eq & mv, axis=-1)
         return owned, moving
 
-    zero = jnp.zeros(track.shape, bool)
+    zero = jnp.zeros(btrk.shape, bool)
     owned, moving_mask = jax.lax.fori_loop(0, n_chunks, chunk_body, (zero, zero))
 
-    movable = (track >= 0) & (track <= max_movable)
-    floating = movable & alive & ~owned
-    status = jnp.where(floating, STATUS_INVALID, particles.status)
-    particles = particles.replace(status=status)
+    floating = bmovable & ~owned
+    bst_clean = jnp.where(floating, STATUS_INVALID, bst)
+    particles = particles.replace(
+        status=scatter_rows(particles.status, blocks, bv, bst_clean)
+    )
 
-    move_p = alive & moving_mask & ~floating
+    bmove = bmovable & moving_mask & ~floating
 
     def do_move(operands):
         particles, rng = operands
-        blocks = select_blocks(mask_to_block_mask(move_p, bv), A)
-        rv = row_valid(blocks)
-
-        g = lambda f: gather_rows(f, blocks, bv)
         bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
-        bw, blab, btrk = g(particles.weight), g(particles.label), g(particles.track)
-        bst, bstamp, bfg = g(particles.status), g(particles.stamp), g(particles.forget)
-        bmove = g(move_p) & rv[:, None]
+        bw, blab = g(particles.weight), g(particles.label)
+        bst, bfg = bst_clean, g(particles.forget)
 
         # Apply each moving object's transform where the track matches —
         # a loop over the (tiny) object table, dense over the working set.
@@ -202,11 +217,77 @@ def _move_and_cleanup(
     return particles, moved, overflow
 
 
+def unpack_frame(cfg: MapConfig, static_table: np.ndarray, buf) -> FrameInput:
+    """Device-side decode of the packed frame buffer (frontend.pack_frame).
+
+    Rebuilds the dense track->label and bbox-gate tables ON DEVICE from the
+    per-instance arrays, so they never ride the host->device link (the dense
+    tables alone were 1.8 MB/frame; the link runs at ~tens of MB/s with
+    ~25 ms/array latency on this platform)."""
+    H, W = cfg.height, cfg.width
+    HW = H * W
+    I, Kp = cfg.max_instances_per_frame, cfg.max_keypoints
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    head = f32(buf[0:8])
+    cam_pos, cam_quat, time = head[0:3], head[3:7], head[7]
+    o = 8
+    depth = f32(buf[o : o + HW]).reshape(H, W)
+    o += HW
+    nr = (HW + 1) // 2
+    rp = buf[o : o + nr]
+    o += nr
+    lo = rp & 0xFFFF
+    hi = (rp >> 16) & 0xFFFF
+    raster = jnp.stack([lo, hi], axis=-1).reshape(-1)[:HW].reshape(H, W)
+
+    inst_track = buf[o : o + I]; o += I
+    inst_label = buf[o : o + I]; o += I
+    kpts_count = buf[o : o + I]; o += I
+    has_bbox = buf[o : o + I]; o += I
+    bbox_min_i = f32(buf[o : o + 3 * I]).reshape(I, 3); o += 3 * I
+    bbox_max_i = f32(buf[o : o + 3 * I]).reshape(I, 3); o += 3 * I
+    kc = f32(buf[o : o + I * Kp * 3]).reshape(I, Kp, 3); o += I * Kp * 3
+    kp = f32(buf[o : o + I * Kp * 3]).reshape(I, Kp, 3)
+
+    valid = inst_track >= 0
+    # label overlay: only valid instances with a known label write the table
+    tid_l = jnp.where(valid & (inst_label >= 0) & (inst_track < 65536), inst_track, 65536)
+    table = jnp.asarray(static_table).at[tid_l].set(
+        jnp.maximum(inst_label, 0), mode="drop"
+    )
+    tid_b = jnp.where(valid & (has_bbox == 1) & (inst_track < 65536), inst_track, 65536)
+    bbox_min = jnp.full((65536, 3), -jnp.inf, jnp.float32).at[tid_b].set(
+        bbox_min_i, mode="drop"
+    )
+    bbox_max = jnp.full((65536, 3), jnp.inf, jnp.float32).at[tid_b].set(
+        bbox_max_i, mode="drop"
+    )
+
+    return FrameInput(
+        depth=depth,
+        track_raster=raster,
+        track_label_table=table,
+        inst_valid=valid,
+        inst_track=jnp.maximum(inst_track, 0),
+        inst_label=inst_label,
+        kpts_curr=kc,
+        kpts_prev=kp,
+        kpts_count=kpts_count,
+        inst_bbox_min=bbox_min,
+        inst_bbox_max=bbox_max,
+        cam_pos=cam_pos,
+        cam_quat=cam_quat,
+        time=time,
+    )
+
+
 def build_frame_step(
     cfg: MapConfig,
     params: FilterParams,
     registry: LabelRegistry,
     split_render: bool = False,
+    packed: bool = False,
 ):
     """Returns the jitted per-frame update: (MapState, FrameInput) ->
     (MapState, RenderResult, StepDiagnostics).
@@ -297,7 +378,12 @@ def build_frame_step(
 
     def render(state: MapState):
         # 7. Occupancy render (with its in-reduction GC side effects).
-        particles, result = render_occupancy(cfg, state, params.occupancy_threshold)
+        render_fn = (
+            render_occupancy_smoothed
+            if params.if_use_neighbor_smoothed_occupancy
+            else render_occupancy
+        )
+        particles, result = render_fn(cfg, state, params.occupancy_threshold)
         return state.replace(particles=particles), result
 
     if split_render:
@@ -305,6 +391,17 @@ def build_frame_step(
             jax.jit(core, donate_argnums=0),
             jax.jit(render, donate_argnums=0),
         )
+
+    if packed:
+        stable = static_label_table(registry)
+
+        def step_packed(state: MapState, buf):
+            f = unpack_frame(cfg, stable, buf)
+            state, _cloud, diag = core(state, f)
+            state, result = render(state)
+            return state, result, diag
+
+        return jax.jit(step_packed, donate_argnums=0)
 
     def step(state: MapState, f: FrameInput):
         state, _cloud, diag = core(state, f)
@@ -353,6 +450,7 @@ class SemanticDSPMap:
             self._step = None
         else:
             self._step = build_frame_step(cfg, self.params, self.registry)
+        self._packed_step = None  # built lazily on first update()
 
     # ------------------------------------------------------------------
     def set_template_path(self, folder: str) -> int:
@@ -390,11 +488,29 @@ class SemanticDSPMap:
         time: float = 0.0,
     ):
         """Reference-parity entry (semantic_dsp_map.h:170): depth image,
-        MaskKpts list, camera pose -> occupancy render result."""
+        MaskKpts list, camera pose -> occupancy render result.
+
+        Uses the packed single-buffer transfer path (frontend.pack_frame):
+        one host->device array per frame instead of 14."""
         if self._time_origin is None:
             self._time_origin = float(time)
-        frame = build_frame_input(
-            self.cfg, self.registry, depth, masks, cam_pos, cam_quat,
-            float(time) - self._time_origin,
+        t = float(time) - self._time_origin
+        if self._step is None:
+            # template-matching path: host-orchestrated, unpacked frames
+            frame = build_frame_input(
+                self.cfg, self.registry, depth, masks, cam_pos, cam_quat, t
+            )
+            return self.update_from_frame(frame)
+
+        buf = pack_frame(
+            self.cfg, self.registry, depth, masks, cam_pos, cam_quat, t
         )
-        return self.update_from_frame(frame)
+        if self._packed_step is None:
+            self._packed_step = build_frame_step(
+                self.cfg, self.params, self.registry, packed=True
+            )
+        self.state, result, diag = self._packed_step(self.state, buf)
+        if self.log_diagnostics:
+            d = {k: int(np.asarray(v)) for k, v in diag._asdict().items()}
+            print(f"[dsp] t={int(np.asarray(self.state.global_time))} {d}", flush=True)
+        return result, diag

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from ..config import MapConfig
 from ..state import ScrollState
 
-INVALID_VOXEL = jnp.int32(-1)
+# Plain int, not jnp.int32: a module-level device constant would initialize
+# the JAX backend at package import, before callers can force a platform.
+INVALID_VOXEL = -1
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,162 @@ def render_occupancy(
         weight_sum=weight_sum,
         voxel_pos=voxel_pos,
     )
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def render_occupancy_smoothed(
+    cfg: MapConfig,
+    state: MapState,
+    occupancy_threshold: float,
+):
+    """calculateWeightAndSemanticsInVoxelConsiderNeighbors
+    (operations.h:457-600): the 4-neighborhood denoise/inference variant of
+    the reduction.  Dead code in the reference engine (no call site;
+    semantic_dsp_map.h:1253 uses the plain variant) — provided here behind
+    ``FilterParams.if_use_neighbor_smoothed_occupancy`` for parity.
+
+    Reference quirks preserved:
+      - neighborhood is taken in RING indices with NO torus wrap and
+        asymmetric bounds (x-1 >= 1 and x+1 < Nx-1, :486-516), so the
+        smoothing seam sits wherever the scroll currently wraps;
+      - an occupied voxel with *no* valid neighbors counts as isolated and is
+        suppressed to weight 0 (all_empty starts true, :563-575);
+      - an empty voxel with >= 2 occupied neighbors is inferred occupied at
+        weight (threshold + 0.1) (:577-588);
+      - guessed particles contribute their RAW weight to the per-track
+        semantics sums but not to the occupancy weight (:532-556);
+      - the semantics argmax spans the voxel AND its neighbors.
+    """
+    p = state.particles
+    K = cfg.slots_per_voxel
+    V = cfg.num_voxels
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    thr = occupancy_threshold
+
+    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
+    alive = codecs.particle_alive(p.status, p.stamp, vox_axis_stamp)
+    vvalid = codecs.voxel_valid(state.voxel_stamp, vox_axis_stamp)
+
+    w = p.weight
+    w_clamped = jnp.minimum(w, 1.0)
+    guessed = alive & (p.status == STATUS_GUESSED_BORN)
+    gc = alive & (p.status == STATUS_UPDATED) & (w_clamped < PARTICLE_OCC_INIT_WEIGHT)
+    contrib_mask = alive & ~gc
+
+    # Per-voxel pieces of weight_sum_vec / guessed_weight (:524-546).
+    wv = jnp.sum(jnp.where(contrib_mask & ~guessed, w_clamped, 0.0), axis=1)
+    gw = jnp.sum(jnp.where(guessed, w, 0.0), axis=1)
+    # Per-slot track-map contributions (guessed at raw weight, :549-556).
+    wct = jnp.where(contrib_mask, jnp.where(guessed, w, w_clamped), 0.0)
+    trk = jnp.where(contrib_mask, p.track, -1)
+    lab = p.label
+
+    g3 = lambda a: a.reshape(nz, ny, nx)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 2)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 1)
+    vv3 = g3(vvalid)
+
+    # Neighbor presence masks at each CENTER voxel (ring space, no wrap).
+    def shifted(a3, dx, dy):
+        return jnp.roll(jnp.roll(a3, dx, axis=2), dy, axis=1)
+
+    offsets = [
+        (0, 0, jnp.ones((nz, ny, nx), bool)),                       # self
+        (1, 0, (xi >= 2) & shifted(vv3, 1, 0)),                      # x-1
+        (-1, 0, (xi < nx - 2) & shifted(vv3, -1, 0)),                # x+1
+        (0, 1, (yi >= 2) & shifted(vv3, 0, 1)),                      # y-1
+        (0, -1, (yi < ny - 2) & shifted(vv3, 0, -1)),                # y+1
+    ]
+
+    # Smoothing decision (:563-588).
+    wv3 = g3(wv)
+    nb_big = []
+    nb_present_any_big = jnp.zeros((nz, ny, nx), bool)
+    big_count = jnp.zeros((nz, ny, nx), jnp.int32)
+    for dx, dy, present in offsets[1:]:
+        nbw = shifted(wv3, dx, dy)
+        is_big = present & (nbw > thr)
+        nb_present_any_big = nb_present_any_big | is_big
+        big_count = big_count + is_big.astype(jnp.int32)
+    ws_sm = jnp.where(
+        wv3 > thr,
+        jnp.where(nb_present_any_big, wv3, 0.0),
+        jnp.where(big_count >= 2, thr + jnp.float32(0.1), wv3),
+    ).reshape(-1)
+
+    gw3 = g3(gw)
+    gw_total = gw3
+    for dx, dy, present in offsets[1:]:
+        gw_total = gw_total + jnp.where(present, shifted(gw3, dx, dy), 0.0)
+    gw_total = gw_total.reshape(-1)
+
+    # Neighborhood-wide per-track argmax.  Candidates = every (offset, slot);
+    # quadratic in (5K)^2 fused passes — acceptable for the flag-gated path.
+    cand_trk, cand_wct, cand_lab = [], [], []
+    for dx, dy, present in offsets:
+        pr = present.reshape(-1)
+        for j in range(K):
+            t3 = shifted(g3(trk[:, j]), dx, dy).reshape(-1)
+            w3_ = shifted(g3(wct[:, j]), dx, dy).reshape(-1)
+            l3 = shifted(g3(lab[:, j]), dx, dy).reshape(-1)
+            cand_trk.append(jnp.where(pr, t3, -1))
+            cand_wct.append(jnp.where(pr, w3_, 0.0))
+            cand_lab.append(l3)
+
+    n_cand = len(cand_trk)
+    big = jnp.int32(1 << 30)
+    best_w = jnp.zeros(V, jnp.float32)
+    best_track = jnp.full(V, big, jnp.int32)
+    found = jnp.zeros(V, bool)
+    for i in range(n_cand):
+        ti = cand_trk[i]
+        okc = ti >= 0
+        tot = jnp.zeros(V, jnp.float32)
+        for k in range(n_cand):
+            tot = tot + jnp.where(cand_trk[k] == ti, cand_wct[k], 0.0)
+        better = okc & (tot > 0.0) & (
+            ~found | (tot > best_w) | ((tot == best_w) & (ti < best_track))
+        )
+        best_w = jnp.where(better, tot, best_w)
+        best_track = jnp.where(better, ti, best_track)
+        found = found | (okc & (tot > 0.0))
+
+    best_label = jnp.zeros(V, jnp.int32)
+    for i in range(n_cand):  # last writer in visit order (:556)
+        match = (cand_trk[i] >= 0) & (cand_trk[i] == best_track)
+        best_label = jnp.where(match, cand_lab[i], best_label)
+    best_track = jnp.where(found, best_track, 0)
+    best_label = jnp.where(found, best_label, 0)
+
+    weight_sum = jnp.where(vvalid, ws_sm, -1.0)
+    gw_total = jnp.where(vvalid, gw_total, 0.0)
+    best_track = jnp.where(vvalid, best_track, 0)
+    best_label = jnp.where(vvalid, best_label, 0)
+
+    occ = jnp.where(
+        weight_sum > thr,
+        1,
+        jnp.where(
+            weight_sum < 0,
+            -1,
+            jnp.where(gw_total >= PARTICLE_OCC_INIT_WEIGHT, 2, 0),
+        ),
+    ).astype(jnp.int32)
+
+    voxel_pos = codecs.voxel_to_global_pos(
+        cfg, state.scroll, jnp.arange(V, dtype=jnp.int32)
+    )
+
+    # Same storage side effects as the plain reduction (:533-543).
+    touched = alive & vvalid[:, None]
+    new_weight = jnp.where(touched, w_clamped, w)
+    new_status = jnp.where(gc & vvalid[:, None], STATUS_INVALID, p.status)
+    particles = p.replace(weight=new_weight, status=new_status)
+
+    return particles, RenderResult(
+        occ=occ,
+        label=best_label,
+        track=best_track,
+        weight_sum=weight_sum,
+        voxel_pos=voxel_pos,
+    )

@@ -121,6 +121,9 @@ def weak_scaling_report(n_devices: int, frames: int = 10) -> dict:
         voxel_num_axis_z_n=base_cfg.voxel_num_axis_z_n
         + int(np.log2(n_devices)),
         max_active_blocks=base_cfg.max_active_blocks * n_devices,
+        max_birth_blocks=base_cfg.max_birth_blocks * n_devices,
+        max_table_entries=base_cfg.max_table_entries * n_devices,
+        corner_gather_blocks=base_cfg.corner_gather_blocks * n_devices,
     )
     upsN = _bench_one(grown, params, n_devices, frames)
 
@@ -137,13 +140,60 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="emulate the mesh on virtual CPU devices (single-chip hosts)",
+    )
+    ap.add_argument("--out", help="also write the report JSON to this path")
     args = ap.parse_args()
 
-    import jax
+    import json
+    import os
+    import sys
 
-    initialize()
+    if args.cpu:
+        # Importing this module already imported the package (and jax), so
+        # env/config tweaks are too late here — re-exec with the environment
+        # set before the interpreter starts.
+        n = args.devices or 8
+        if os.environ.get("_DSP_CPU_REEXEC") != "1":
+            env = dict(os.environ)
+            flags = env.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
+            env["JAX_PLATFORMS"] = "cpu"
+            env["_DSP_CPU_REEXEC"] = "1"
+            # Bootstrap via -c so jax.config forces the CPU platform BEFORE
+            # the package import (some plugins ignore the env var, and any
+            # device use at import time would pin the wrong backend).
+            code = (
+                "import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "import runpy; runpy.run_module("
+                f"'{__spec__.name}', run_name='__main__')"
+            )
+            os.execve(
+                sys.executable,
+                [sys.executable, "-c", code] + sys.argv[1:],
+                env,
+            )
+        import jax
+
+        # belt and braces: some plugins ignore JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+        initialize()
+
     n = args.devices or len(jax.devices())
-    print(weak_scaling_report(n, args.frames), flush=True)
+    report = weak_scaling_report(n, args.frames)
+    line = json.dumps(report)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

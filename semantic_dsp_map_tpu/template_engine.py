@@ -49,6 +49,18 @@ from .ops.templates import (
 from .state import MapState, STATUS_GUESSED_BORN, STATUS_INVALID
 
 
+def _compact_by_sort(mask_flat, xs, ys, zs, n_max: int):
+    """Stable compaction of masked points into a fixed buffer via one
+    multi-operand sort (the PROFILE_r02.md pattern: never jnp.nonzero on a
+    big domain).  Selected points keep ascending source order, matching what
+    nonzero would have produced."""
+    key = (~mask_flat).astype(jnp.int32)
+    ks, sx, sy, sz = jax.lax.sort((key, xs, ys, zs), num_keys=1)
+    ok = ks[:n_max] == 0
+    pts = jnp.stack([sx[:n_max], sy[:n_max], sz[:n_max]], axis=-1)
+    return jnp.where(ok[:, None], pts, 0.0), ok
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _extract_track_points(cfg: MapConfig, n_max: int, cloud_pos, cloud_track, cloud_valid, tid):
     """Compact the labeled-cloud points of one track id into a fixed buffer.
@@ -58,30 +70,45 @@ def _extract_track_points(cfg: MapConfig, n_max: int, cloud_pos, cloud_track, cl
     we keep only valid points — strictly less noise fed to the matcher.
     Returns (pts f32[n_max, 3], valid bool[n_max], count i32).
     """
-    m = (cloud_track == tid) & cloud_valid
-    flat = m.reshape(-1)
-    (sel,) = jnp.nonzero(flat, size=n_max, fill_value=-1)
-    ok = sel >= 0
-    pts = cloud_pos.reshape(-1, 3)[jnp.maximum(sel, 0)]
-    pts = jnp.where(ok[:, None], pts, 0.0)
-    return pts, ok, jnp.sum(flat.astype(jnp.int32))
+    m = ((cloud_track == tid) & cloud_valid).reshape(-1)
+    pts, ok = _compact_by_sort(
+        m,
+        cloud_pos[..., 0].reshape(-1),
+        cloud_pos[..., 1].reshape(-1),
+        cloud_pos[..., 2].reshape(-1),
+        n_max,
+    )
+    return pts, ok, jnp.sum(m.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _extract_particle_points(cfg: MapConfig, n_max: int, state: MapState, tid, weight_threshold):
     """getParticlesAsPointCloud (operations.h:242-255) for one track id:
-    alive particles with weight > threshold."""
+    alive particles with weight > threshold.
+
+    Block-compacted (ops/blocks.py): the [V, K] domain is reduced to the
+    blocks that contain matching particles before any per-element work —
+    jnp.nonzero at [V, K] costs ~0.5 s at VKITTI2 scale (PROFILE_r02.md)."""
+    from .ops.blocks import block_layout, gather_rows, mask_to_block_mask, row_valid, select_blocks
+
     p = state.particles
     vox_axis = codecs.axis_stamps_per_voxel(cfg, state.scroll)
     alive = codecs.particle_alive(p.status, p.stamp, vox_axis)
     m = alive & (p.track == tid) & (p.weight > weight_threshold)
-    vi, ki = jnp.nonzero(m, size=n_max, fill_value=-1)
-    ok = vi >= 0
-    gv, gk = jnp.maximum(vi, 0), jnp.maximum(ki, 0)
-    pts = jnp.stack(
-        [p.px[gv, gk], p.py[gv, gk], p.pz[gv, gk]], axis=-1
-    )
-    pts = jnp.where(ok[:, None], pts, 0.0)
+
+    bv, nb, spb = block_layout(cfg)
+    A = min(cfg.max_moving_blocks, nb)
+    blocks = select_blocks(mask_to_block_mask(m, bv), A)
+    rv = row_valid(blocks)
+    bm = (gather_rows(m, blocks, bv) & rv[:, None]).reshape(-1)
+    bx = gather_rows(p.px, blocks, bv).reshape(-1)
+    by = gather_rows(p.py, blocks, bv).reshape(-1)
+    bz = gather_rows(p.pz, blocks, bv).reshape(-1)
+    pts, ok = _compact_by_sort(bm, bx, by, bz, min(n_max, A * spb))
+    if pts.shape[0] < n_max:
+        pad = n_max - pts.shape[0]
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        ok = jnp.pad(ok, (0, pad))
     return pts, ok, jnp.sum(m.astype(jnp.int32))
 
 
