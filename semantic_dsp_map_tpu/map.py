@@ -55,7 +55,14 @@ from .ops.geometry import camera_matrices
 from .ops.observe import observe_and_update
 from .ops.projection import generate_labeled_cloud
 from .ops.render import RenderResult, render_occupancy, render_occupancy_smoothed
-from .state import MapState, Particles, STATUS_INVALID, clear_map_state, init_map_state
+from .state import (
+    MapState,
+    Particles,
+    STATUS_INVALID,
+    clear_map_state,
+    init_map_state,
+    particles_vk,
+)
 
 
 class StepDiagnostics(NamedTuple):
@@ -102,6 +109,9 @@ def _move_and_cleanup(
     bv, nb, spb = block_layout(cfg)
     A = min(cfg.max_moving_blocks, nb)
     O = objects.valid.shape[0]
+
+    flat = particles          # flat storage (linear layout)
+    particles = particles_vk(cfg, particles)  # [V, K] views
 
     vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
     alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis)
@@ -153,14 +163,15 @@ def _move_and_cleanup(
 
     floating = bmovable & ~owned
     bst_clean = jnp.where(floating, STATUS_INVALID, bst)
-    particles = particles.replace(
-        status=scatter_rows(particles.status, blocks, bv, bst_clean)
+    flat = flat.replace(
+        status=scatter_rows(particles.status, blocks, bv, bst_clean).reshape(-1)
     )
 
     bmove = bmovable & moving_mask & ~floating
 
     def do_move(operands):
-        particles, rng = operands
+        flat_p, rng = operands
+        particles = particles_vk(cfg, flat_p)
         bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
         bw, blab = g(particles.weight), g(particles.label)
         bst, bfg = bst_clean, g(particles.forget)
@@ -187,8 +198,8 @@ def _move_and_cleanup(
         # Delete the sources first (batched copy-delete-readd,
         # operations.h:321-362), then re-insert as candidates.
         bst_del = jnp.where(bmove, STATUS_INVALID, bst)
-        particles = particles.replace(
-            status=scatter_rows(particles.status, blocks, bv, bst_del)
+        flat_p = flat_p.replace(
+            status=scatter_rows(particles.status, blocks, bv, bst_del).reshape(-1)
         )
 
         n = A * spb
@@ -203,18 +214,18 @@ def _move_and_cleanup(
             priority=jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1),
             valid=bmove.reshape(-1),
         )
-        res = _insert_core(cfg, particles, scroll, cand, resample_targets=False)
+        res = _insert_core(cfg, flat_p, scroll, cand, resample_targets=False)
         return res.particles, res.accepted_count, blocks.overflow
 
     def no_move(operands):
-        particles, _rng = operands
-        return particles, jnp.int32(0), jnp.int32(0)
+        flat_p, _rng = operands
+        return flat_p, jnp.int32(0), jnp.int32(0)
 
     any_moving = jnp.any(mv_obj)
-    particles, moved, overflow = jax.lax.cond(
-        any_moving, do_move, no_move, (particles, rng)
+    out, moved, overflow = jax.lax.cond(
+        any_moving, do_move, no_move, (flat, rng)
     )
-    return particles, moved, overflow
+    return out, moved, overflow
 
 
 def unpack_frame(cfg: MapConfig, static_table: np.ndarray, buf) -> FrameInput:

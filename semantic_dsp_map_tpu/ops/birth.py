@@ -42,6 +42,7 @@ from ..state import (
     STATUS_INVALID,
     STATUS_REGULAR_BORN,
     STATUS_UPDATED,
+    particles_vk,
 )
 from . import codecs
 from .blocks import ActiveBlocks, block_layout, gather_rows, group_rank, scatter_rows
@@ -127,8 +128,11 @@ def resample_slots(cfg: MapConfig, status, weight, target):
 @partial(jax.jit, static_argnums=0)
 def resample_voxels(cfg: MapConfig, particles: Particles, target: jax.Array) -> Particles:
     """Full-state resampling wrapper (tests/diagnostics)."""
-    status, weight = resample_slots(cfg, particles.status, particles.weight, target)
-    return particles.replace(status=status, weight=weight)
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    status, weight = resample_slots(
+        cfg, particles.status.reshape(V, K), particles.weight.reshape(V, K), target
+    )
+    return particles.replace(status=status.reshape(-1), weight=weight.reshape(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +163,9 @@ def _insert_core(
     bv, nb, spb = block_layout(cfg)
     A = min(cfg.max_birth_blocks, nb)
     bv_n = bv.bit_length() - 1
+
+    flat = particles          # flat storage (linear layout)
+    particles = particles_vk(cfg, particles)  # [V, K] views
 
     vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
     valid = cand.valid & in_map
@@ -321,16 +328,16 @@ def _insert_core(
     n_st = jnp.where(took, (m_meta >> 24) & 0x7, bst)
     n_fg = jnp.where(took, (m_meta >> 27) & 0x7, bfg)
 
-    new = particles.replace(
-        px=scatter_rows(particles.px, blocks, bv, n_px),
-        py=scatter_rows(particles.py, blocks, bv, n_py),
-        pz=scatter_rows(particles.pz, blocks, bv, n_pz),
-        weight=scatter_rows(particles.weight, blocks, bv, n_w),
-        label=scatter_rows(particles.label, blocks, bv, n_lab),
-        track=scatter_rows(particles.track, blocks, bv, n_trk),
-        status=scatter_rows(particles.status, blocks, bv, n_st),
-        stamp=scatter_rows(particles.stamp, blocks, bv, n_stamp),
-        forget=scatter_rows(particles.forget, blocks, bv, n_fg),
+    new = flat.replace(
+        px=scatter_rows(particles.px, blocks, bv, n_px).reshape(-1),
+        py=scatter_rows(particles.py, blocks, bv, n_py).reshape(-1),
+        pz=scatter_rows(particles.pz, blocks, bv, n_pz).reshape(-1),
+        weight=scatter_rows(particles.weight, blocks, bv, n_w).reshape(-1),
+        label=scatter_rows(particles.label, blocks, bv, n_lab).reshape(-1),
+        track=scatter_rows(particles.track, blocks, bv, n_trk).reshape(-1),
+        status=scatter_rows(particles.status, blocks, bv, n_st).reshape(-1),
+        stamp=scatter_rows(particles.stamp, blocks, bv, n_stamp).reshape(-1),
+        forget=scatter_rows(particles.forget, blocks, bv, n_fg).reshape(-1),
     )
 
     # Staged candidate r (= its lane's slot index) is accepted iff

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FilterParams, MapConfig, PARTICLE_OCC_INIT_WEIGHT
-from ..state import Particles, STATUS_INVALID, STATUS_UPDATED
+from ..state import Particles, STATUS_INVALID, STATUS_UPDATED, particles_vk
 from . import codecs
 from .blocks import (
     block_layout,
@@ -94,6 +94,9 @@ def observe_and_update(
     bv, nb, spb = block_layout(cfg)
     A = min(cfg.max_active_blocks, nb)
     C = min(cfg.max_table_entries, A * spb)
+
+    flat = particles          # flat storage (linear layout)
+    particles = particles_vk(cfg, particles)  # [V, K] views, free inside jit
 
     # ---- dense [V, K] pass: who can project into the image ----
     vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
@@ -206,12 +209,12 @@ def observe_and_update(
     bstamp = jnp.where(upd == 1, global_time, bstamp)
     bforget = jnp.where(upd == 1, m_back & 0xFF, bforget)
 
-    # ---- write back particle rows ----
-    particles = particles.replace(
-        weight=scatter_rows(particles.weight, blocks, bv, bw),
-        status=scatter_rows(particles.status, blocks, bv, bst),
-        stamp=scatter_rows(particles.stamp, blocks, bv, bstamp),
-        forget=scatter_rows(particles.forget, blocks, bv, bforget),
+    # ---- write back particle rows (flat storage out) ----
+    out_particles = flat.replace(
+        weight=scatter_rows(particles.weight, blocks, bv, bw).reshape(-1),
+        status=scatter_rows(particles.status, blocks, bv, bst).reshape(-1),
+        stamp=scatter_rows(particles.stamp, blocks, bv, bstamp).reshape(-1),
+        forget=scatter_rows(particles.forget, blocks, bv, bforget).reshape(-1),
     )
 
     # ---- voxel observation stamps from particle evidence ----
@@ -232,7 +235,7 @@ def observe_and_update(
         table_dropped=table.dropped,
         corner_overflow=corner_overflow,
     )
-    return particles, voxel_stamp, diag
+    return out_particles, voxel_stamp, diag
 
 
 def refresh_empty_voxel_stamps(

@@ -399,7 +399,8 @@ def phd_weight_update(
     new_weight, new_forget = stencil_pass_b(cfg, params, t, cloud, ck_kappa)
 
     occupied = t.meta >= 0
-    V = particles.weight.shape[0]
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    N = V * K
     # Recover each table entry's (voxel, slot): rebuild the same destinations.
     H, W, S = cfg.height, cfg.width, cfg.phd_pixel_table_slots
     P = vis.vox.shape[0]
@@ -421,18 +422,20 @@ def phd_weight_update(
     iota_t = jax.lax.broadcasted_iota(
         jnp.int32, (H * W * S, 1), 0
     ).squeeze(-1).reshape(S, H, W)
-    tv = jnp.where(occupied & (vox_t >= 0), vox_t, V + iota_t).reshape(-1)
-    ts = slot_t.reshape(-1)
+    # Flat slot indices into the [V*K] storage; unique OOR pads drop.
+    fi = jnp.where(
+        occupied & (vox_t >= 0), vox_t * K + slot_t, N + iota_t
+    ).reshape(-1)
     nw = new_weight.reshape(-1)
     nf = new_forget.reshape(-1)
 
     return particles.replace(
-        weight=particles.weight.at[tv, ts].set(nw, mode="drop", unique_indices=True),
-        status=particles.status.at[tv, ts].set(
+        weight=particles.weight.at[fi].set(nw, mode="drop", unique_indices=True),
+        status=particles.status.at[fi].set(
             STATUS_UPDATED, mode="drop", unique_indices=True
         ),
-        stamp=particles.stamp.at[tv, ts].set(
+        stamp=particles.stamp.at[fi].set(
             global_time, mode="drop", unique_indices=True
         ),
-        forget=particles.forget.at[tv, ts].set(nf, mode="drop", unique_indices=True),
+        forget=particles.forget.at[fi].set(nf, mode="drop", unique_indices=True),
     )

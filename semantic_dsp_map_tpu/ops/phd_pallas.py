@@ -170,7 +170,7 @@ def pass_a_pallas(
         out_shape=jax.ShapeDtypeStruct((HT, WT), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((5, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -329,7 +329,7 @@ def pass_b_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((5, S, th, tw), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],

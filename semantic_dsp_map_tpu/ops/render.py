@@ -33,6 +33,8 @@ from ..state import (
     STATUS_GUESSED_BORN,
     STATUS_INVALID,
     STATUS_UPDATED,
+    particles_flat,
+    particles_vk,
 )
 from . import codecs
 
@@ -52,7 +54,7 @@ def render_occupancy(
     occupancy_threshold: float,
 ):
     """Returns (particles_after_gc, RenderResult)."""
-    p = state.particles
+    p = particles_vk(cfg, state.particles)
     K = cfg.slots_per_voxel
 
     vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
@@ -136,7 +138,9 @@ def render_occupancy(
     touched = alive & vvalid[:, None]
     new_weight = jnp.where(touched, w_clamped, w)
     new_status = jnp.where(gc & vvalid[:, None], STATUS_INVALID, p.status)
-    particles = p.replace(weight=new_weight, status=new_status)
+    particles = state.particles.replace(
+        weight=new_weight.reshape(-1), status=new_status.reshape(-1)
+    )
 
     return particles, RenderResult(
         occ=occ,
@@ -171,7 +175,7 @@ def render_occupancy_smoothed(
         semantics sums but not to the occupancy weight (:532-556);
       - the semantics argmax spans the voxel AND its neighbors.
     """
-    p = state.particles
+    p = particles_vk(cfg, state.particles)
     K = cfg.slots_per_voxel
     V = cfg.num_voxels
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
@@ -295,7 +299,9 @@ def render_occupancy_smoothed(
     touched = alive & vvalid[:, None]
     new_weight = jnp.where(touched, w_clamped, w)
     new_status = jnp.where(gc & vvalid[:, None], STATUS_INVALID, p.status)
-    particles = p.replace(weight=new_weight, status=new_status)
+    particles = state.particles.replace(
+        weight=new_weight.reshape(-1), status=new_status.reshape(-1)
+    )
 
     return particles, RenderResult(
         occ=occ,

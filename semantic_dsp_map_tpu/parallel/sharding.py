@@ -47,12 +47,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "grid") -> Mesh:
 
 
 def _shard_rule(cfg: MapConfig, mesh: Mesh, leaf: jax.ShapeDtypeStruct):
-    """Shard the voxel dimension wherever it appears (dim 0 for most particle
-    arrays / voxel_stamp; dim 1 for the [3, V, K] position array)."""
+    """Shard the voxel dimension wherever it appears: dim of size V
+    (voxel_stamp, render outputs) or V*K (the flat particle storage —
+    voxel-major, so an even split keeps whole voxels per shard)."""
     axis = mesh.axis_names[0]
     shape = getattr(leaf, "shape", ())
+    vk = cfg.num_voxels * cfg.slots_per_voxel
     for d, size in enumerate(shape):
-        if size == cfg.num_voxels and size % mesh.devices.size == 0:
+        if size in (cfg.num_voxels, vk) and size % mesh.devices.size == 0:
             spec = [None] * len(shape)
             spec[d] = axis
             return NamedSharding(mesh, P(*spec))

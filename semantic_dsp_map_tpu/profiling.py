@@ -157,13 +157,13 @@ def main():
         state = init_map_state(cfg, seed=0)
         out = step(state, frame)
         state = out[0] if isinstance(out, tuple) else out
-        _ = float(jnp.sum(state.particles.weight[0, 0]))  # forced readback
+        _ = float(jnp.sum(state.particles.weight[0]))  # forced readback
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(state, frame)
             state = out[0] if isinstance(out, tuple) else out
-        _ = float(jnp.sum(state.particles.weight[0, 0]))
+        _ = float(jnp.sum(state.particles.weight[0]))
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"prefix<={STAGES[k]:<15} {ms:9.2f} ms   (+{ms - prev_ms:8.2f})", flush=True)
         prev_ms = ms

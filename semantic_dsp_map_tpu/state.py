@@ -32,24 +32,51 @@ STATUS_COPIED = 4
 
 @struct.dataclass
 class Particles:
-    """SoA particle storage, shape [V, K] (V voxels, K slots/voxel).
+    """SoA particle storage, FLAT shape [V*K] (voxel-major, K slots/voxel).
 
-    Positions are three SEPARATE [V, K] arrays: any array that combines the
-    xyz axis with (V, K) tempts XLA's TPU layout assignment into putting a
-    tiny axis on the 128-lane dimension — observed as a 672 MB [3, V, K]
-    position array copied into a 12 GB padded temp inside a conditional.
-    Fully separate planes keep every layout decision 2-D and benign.
+    Flat 1-D buffers get a linear TPU layout; a [V, K] buffer with the tiny
+    K on the minor dimension gets a tiled layout that costs a multi-GB
+    relayout on every reshape/scatter at the jit boundary (measured 33 ms
+    vs 6.7 ms for one row-scatter at VKITTI2 scale, round-3).  Ops reshape
+    to [V, K] views INSIDE jit (a free bitcast from linear) via
+    :func:`particles_vk` and flatten results back with :func:`particles_flat`.
+
+    Positions are three SEPARATE arrays: any array that combines the xyz
+    axis with the particle dim tempts layout assignment into putting a tiny
+    axis on the 128-lane dimension (observed: a 672 MB position array copied
+    into a 12 GB padded temp inside a conditional).
     """
 
-    px: jax.Array       # f32[V, K] global-frame position x
-    py: jax.Array       # f32[V, K]
-    pz: jax.Array       # f32[V, K]
-    weight: jax.Array   # f32[V, K]
-    label: jax.Array    # i32[V, K] semantic label id
-    track: jax.Array    # i32[V, K] instance / track id
-    status: jax.Array   # i32[V, K] STATUS_*
-    forget: jax.Array   # i32[V, K] forgetting counter
-    stamp: jax.Array    # i32[V, K] birth/update time stamp
+    px: jax.Array       # f32[V*K] global-frame position x
+    py: jax.Array       # f32[V*K]
+    pz: jax.Array       # f32[V*K]
+    weight: jax.Array   # f32[V*K]
+    label: jax.Array    # i32[V*K] semantic label id
+    track: jax.Array    # i32[V*K] instance / track id
+    status: jax.Array   # i32[V*K] STATUS_*
+    forget: jax.Array   # i32[V*K] forgetting counter
+    stamp: jax.Array    # i32[V*K] birth/update time stamp
+
+
+def particles_vk(cfg: MapConfig, p: Particles) -> Particles:
+    """[V, K]-shaped views of the flat storage (free bitcast inside jit)."""
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    return Particles(
+        px=p.px.reshape(V, K), py=p.py.reshape(V, K), pz=p.pz.reshape(V, K),
+        weight=p.weight.reshape(V, K), label=p.label.reshape(V, K),
+        track=p.track.reshape(V, K), status=p.status.reshape(V, K),
+        forget=p.forget.reshape(V, K), stamp=p.stamp.reshape(V, K),
+    )
+
+
+def particles_flat(p: Particles) -> Particles:
+    """Flatten a [V, K]-view Particles back to storage shape."""
+    return Particles(
+        px=p.px.reshape(-1), py=p.py.reshape(-1), pz=p.pz.reshape(-1),
+        weight=p.weight.reshape(-1), label=p.label.reshape(-1),
+        track=p.track.reshape(-1), status=p.status.reshape(-1),
+        forget=p.forget.reshape(-1), stamp=p.stamp.reshape(-1),
+    )
 
 
 @struct.dataclass
@@ -125,17 +152,17 @@ class MapState:
 
 
 def init_particles(cfg: MapConfig) -> Particles:
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    n = cfg.num_voxels * cfg.slots_per_voxel
     return Particles(
-        px=jnp.zeros((V, K), jnp.float32),
-        py=jnp.zeros((V, K), jnp.float32),
-        pz=jnp.zeros((V, K), jnp.float32),
-        weight=jnp.zeros((V, K), jnp.float32),
-        label=jnp.zeros((V, K), jnp.int32),
-        track=jnp.zeros((V, K), jnp.int32),
-        status=jnp.zeros((V, K), jnp.int32),
-        forget=jnp.zeros((V, K), jnp.int32),
-        stamp=jnp.zeros((V, K), jnp.int32),
+        px=jnp.zeros(n, jnp.float32),
+        py=jnp.zeros(n, jnp.float32),
+        pz=jnp.zeros(n, jnp.float32),
+        weight=jnp.zeros(n, jnp.float32),
+        label=jnp.zeros(n, jnp.int32),
+        track=jnp.zeros(n, jnp.int32),
+        status=jnp.zeros(n, jnp.int32),
+        forget=jnp.zeros(n, jnp.int32),
+        stamp=jnp.zeros(n, jnp.int32),
     )
 
 

@@ -46,7 +46,7 @@ from .ops.templates import (
     TemplateBank,
     template_match,
 )
-from .state import MapState, STATUS_GUESSED_BORN, STATUS_INVALID
+from .state import MapState, STATUS_GUESSED_BORN, STATUS_INVALID, particles_vk
 
 
 def _compact_by_sort(mask_flat, xs, ys, zs, n_max: int):
@@ -91,7 +91,7 @@ def _extract_particle_points(cfg: MapConfig, n_max: int, state: MapState, tid, w
     jnp.nonzero at [V, K] costs ~0.5 s at VKITTI2 scale (PROFILE_r02.md)."""
     from .ops.blocks import block_layout, gather_rows, mask_to_block_mask, row_valid, select_blocks
 
-    p = state.particles
+    p = particles_vk(cfg, state.particles)
     vox_axis = codecs.axis_stamps_per_voxel(cfg, state.scroll)
     alive = codecs.particle_alive(p.status, p.stamp, vox_axis)
     m = alive & (p.track == tid) & (p.weight > weight_threshold)

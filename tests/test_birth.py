@@ -67,14 +67,15 @@ def test_resample_matches_oracle():
     # Some voxels with tiny weights to hit the wipe path.
     weight[: V // 4] *= 0.002
     particles = particles.replace(
-        status=jnp.asarray(status), weight=jnp.asarray(weight),
-        stamp=jnp.ones((V, K), jnp.int32),
+        status=jnp.asarray(status.reshape(-1)),
+        weight=jnp.asarray(weight.reshape(-1)),
+        stamp=jnp.ones(V * K, jnp.int32),
     )
     target = rng.rand(V) > 0.5
 
     out = resample_voxels(CFG, particles, jnp.asarray(target))
-    out_w = np.asarray(out.weight)
-    out_s = np.asarray(out.status)
+    out_w = np.asarray(out.weight).reshape(V, K)
+    out_s = np.asarray(out.status).reshape(V, K)
 
     for v in range(0, V, 7):  # sample voxels
         if target[v]:
@@ -97,11 +98,11 @@ def test_insert_first_vacant_and_capacity():
 
     p0 = jnp.asarray([[0.1, 0.1, 0.1]], jnp.float32)
     v0 = int(np.asarray(codecs.global_pos_to_voxel(CFG, scroll, p0)[0])[0])
-    status = np.asarray(particles.status).copy()
+    status = np.asarray(particles.status).reshape(-1, K).copy()
     status[v0, 1] = STATUS_UPDATED
     particles = particles.replace(
-        status=jnp.asarray(status),
-        stamp=particles.stamp.at[v0, 1].set(1),
+        status=jnp.asarray(status.reshape(-1)),
+        stamp=particles.stamp.at[v0 * K + 1].set(1),
     )
 
     # 4 candidates into the same voxel with K=3 slots (1 occupied -> 2 free).
@@ -121,9 +122,9 @@ def test_insert_first_vacant_and_capacity():
     acc = np.asarray(accepted)
     # Two lowest priorities (3 then 1) accepted.
     np.testing.assert_array_equal(acc, [False, True, False, True])
-    s = np.asarray(new.status[v0])
-    w = np.asarray(new.weight[v0])
-    lab = np.asarray(new.label[v0])
+    s = np.asarray(new.status).reshape(-1, K)[v0]
+    w = np.asarray(new.weight).reshape(-1, K)[v0]
+    lab = np.asarray(new.label).reshape(-1, K)[v0]
     assert s[0] == STATUS_REGULAR_BORN and s[2] == STATUS_REGULAR_BORN
     # First vacant slot (0) gets the lowest priority candidate (index 3).
     assert lab[0] == 3 and w[0] == np.float32(0.4)

@@ -99,12 +99,12 @@ def test_full_frame_matches_oracle():
             rtol=2e-4, atol=1e-5, err_msg=f"weight_sum frame {t}",
         )
         np.testing.assert_array_equal(
-            np.asarray(dsp.state.particles.status), oracle.status,
-            err_msg=f"status frame {t}",
+            np.asarray(dsp.state.particles.status).reshape(oracle.status.shape),
+            oracle.status, err_msg=f"status frame {t}",
         )
         np.testing.assert_allclose(
-            np.asarray(dsp.state.particles.weight), oracle.w,
-            rtol=2e-4, atol=1e-6, err_msg=f"weight frame {t}",
+            np.asarray(dsp.state.particles.weight).reshape(oracle.w.shape),
+            oracle.w, rtol=2e-4, atol=1e-6, err_msg=f"weight frame {t}",
         )
 
     # the dynamic object must actually have been tracked and moved

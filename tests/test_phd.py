@@ -174,9 +174,10 @@ def _run(seed, params):
     new_p = phd_weight_update(cfg, params, vis, cloud, particles, jnp.int32(7))
     # Synthetic particle i lives at (voxel i, slot 0).
     n = len(parts)
-    got_w = np.asarray(new_p.weight)[:n, 0]
-    got_f = np.asarray(new_p.forget)[:n, 0]
-    got_s = np.asarray(new_p.status)[:n, 0]
+    K = cfg.slots_per_voxel
+    got_w = np.asarray(new_p.weight).reshape(-1, K)[:n, 0]
+    got_f = np.asarray(new_p.forget).reshape(-1, K)[:n, 0]
+    got_s = np.asarray(new_p.status).reshape(-1, K)[:n, 0]
     np.testing.assert_allclose(got_w, w_oracle, rtol=3e-4, atol=1e-6)
     np.testing.assert_array_equal(got_f, f_oracle)
     assert (got_s == STATUS_UPDATED).all()

@@ -76,11 +76,11 @@ def test_render_matches_oracle():
 
     state = state.replace(
         particles=state.particles.replace(
-            status=jnp.asarray(status),
-            weight=jnp.asarray(weight),
-            track=jnp.asarray(track),
-            label=jnp.asarray(label),
-            stamp=jnp.ones((V, K), jnp.int32),
+            status=jnp.asarray(status.reshape(-1)),
+            weight=jnp.asarray(weight.reshape(-1)),
+            track=jnp.asarray(track.reshape(-1)),
+            label=jnp.asarray(label.reshape(-1)),
+            stamp=jnp.ones(V * K, jnp.int32),
         ),
         voxel_stamp=jnp.asarray(vstamp),
     )
@@ -90,8 +90,8 @@ def test_render_matches_oracle():
     occ = np.asarray(res.occ)
     olab = np.asarray(res.label)
     otrk = np.asarray(res.track)
-    nw = np.asarray(particles.weight)
-    ns = np.asarray(particles.status)
+    nw = np.asarray(particles.weight).reshape(V, K)
+    ns = np.asarray(particles.status).reshape(V, K)
 
     for v in range(0, V, 11):
         eo, el, et, ew, es = oracle_voxel(

@@ -31,9 +31,11 @@ def _random_state(cfg, seed=0, fill=0.3):
     stamp = np.ones((V, K), np.int32)
     vstamp = (rng.rand(V) < 0.8).astype(np.int32)  # some invalid voxels
     p = state.particles.replace(
-        status=status, weight=weight, track=track, label=label, stamp=stamp,
-        px=np.zeros((V, K), np.float32), py=np.zeros((V, K), np.float32),
-        pz=np.zeros((V, K), np.float32),
+        status=status.reshape(-1), weight=weight.reshape(-1),
+        track=track.reshape(-1), label=label.reshape(-1),
+        stamp=stamp.reshape(-1),
+        px=np.zeros(V * K, np.float32), py=np.zeros(V * K, np.float32),
+        pz=np.zeros(V * K, np.float32),
     )
     return state.replace(particles=p, voxel_stamp=vstamp, global_time=np.int32(1))
 
@@ -43,10 +45,10 @@ def _oracle(cfg, state, thr):
 
     V, K = cfg.num_voxels, cfg.slots_per_voxel
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    st = np.asarray(state.particles.status)
-    w = np.asarray(state.particles.weight)
-    trk = np.asarray(state.particles.track)
-    lab = np.asarray(state.particles.label)
+    st = np.asarray(state.particles.status).reshape(V, K)
+    w = np.asarray(state.particles.weight).reshape(V, K)
+    trk = np.asarray(state.particles.track).reshape(V, K)
+    lab = np.asarray(state.particles.label).reshape(V, K)
     vst = np.asarray(state.voxel_stamp)
 
     def ring(v):
