@@ -42,7 +42,22 @@ def run(name, patches):
     for k, v in patches.items():
         setattr(mapmod, k, v)
     try:
-        step = build_frame_step(cfg, params, registry, packed=True)
+        import os
+        if os.environ.get("ABLATE_SPLIT"):
+            from semantic_dsp_map_tpu.map import unpack_frame
+            from semantic_dsp_map_tpu.frontend import static_label_table as _slt
+            core, render = build_frame_step(cfg, params, registry, split_render=True)
+            stbl = _slt(registry)
+            import jax as _jax, functools
+            @functools.partial(_jax.jit, donate_argnums=0)
+            def _core_p(st, buf):
+                return core.__wrapped__(st, unpack_frame(cfg, stbl, buf))
+            def step(st, buf):
+                st, _cl, dg = _core_p(st, buf)
+                st, r = render(st)
+                return st, r, dg
+        else:
+            step = build_frame_step(cfg, params, registry, packed=True)
         state = init_map_state(cfg, 0)
         for t in range(3):
             state, r, dg = step(state, bufs[t])
@@ -79,7 +94,6 @@ def no_render(cfg_, state, thr):
     return state.particles, RenderResult(
         occ=jnp.zeros(V, jnp.int32), label=jnp.zeros(V, jnp.int32),
         track=jnp.zeros(V, jnp.int32), weight_sum=jnp.zeros(V, jnp.float32),
-        voxel_pos=jnp.zeros((V, 3), jnp.float32),
     )
 
 

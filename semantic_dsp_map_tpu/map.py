@@ -406,6 +406,25 @@ def build_frame_step(
     if packed:
         stable = static_label_table(registry)
 
+        # Large grids compile the fused step over XLA's HBM budget (the
+        # VKITTI2 program plans 17+ GB fused); split core and render into two
+        # chained executables so their peaks don't stack.  Two dispatches
+        # pipeline through the async queue, costing nothing measurable.
+        if cfg.num_voxels * cfg.slots_per_voxel >= (1 << 25):
+            def core_packed(state: MapState, buf):
+                f = unpack_frame(cfg, stable, buf)
+                return core(state, f)
+
+            core_j = jax.jit(core_packed, donate_argnums=0)
+            render_j = jax.jit(render, donate_argnums=0)
+
+            def step_split(state: MapState, buf):
+                state, _cloud, diag = core_j(state, buf)
+                state, result = render_j(state)
+                return state, result, diag
+
+            return step_split
+
         def step_packed(state: MapState, buf):
             f = unpack_frame(cfg, stable, buf)
             state, _cloud, diag = core(state, f)

@@ -44,7 +44,9 @@ class RenderResult(NamedTuple):
     label: jax.Array       # i32[V]
     track: jax.Array       # i32[V]
     weight_sum: jax.Array  # f32[V] (−1 for unknown voxels)
-    voxel_pos: jax.Array   # f32[V, 3] global-frame voxel corner position
+    # NOTE: voxel positions are pure scroll-state index arithmetic and are
+    # computed HOST-side (viz.voxel_positions) — materializing an [V, 3]
+    # array on device pays a tiny-minor-dim layout penalty every frame.
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -71,44 +73,67 @@ def render_occupancy(
 
     guessed_weight = jnp.sum(jnp.where(guessed, w_clamped, 0.0), axis=1)
 
-    # Per-(voxel, track) weight accumulation over the K slots (K is small and
-    # static, so the K^2 pairwise pass is a handful of fused elementwise ops).
+    # Per-(voxel, track) weight accumulation over the K slots.  Any per-
+    # column [V, 1] broadcast or minor-axis roll on the [V, K] view explodes
+    # into relayout copies (~310 ms/frame / compile-time OOM at VKITTI2
+    # scale, round-3 bisection), so:
+    #   - the pairwise same-track sum runs as voxel-circular LANE shifts on
+    #     the [rows, spb] view (spb is a multiple of K, rows hold whole
+    #     voxels — the proven-fast shape from ops/birth.py's merge);
+    #   - per-voxel argmax runs as axis-1 reduces (cheap) with flat
+    #     jnp.repeat for the "broadcast back to slots" steps.
+    from .blocks import block_layout
+
     contrib_mask = alive & ~gc
     contrib = jnp.where(contrib_mask, w_clamped, 0.0)
 
-    track_sum = jnp.zeros((cfg.num_voxels, K), jnp.float32)
-    for j in range(K):
-        same = p.track == p.track[:, j : j + 1]
-        track_sum = track_sum + jnp.where(same, contrib[:, j : j + 1], 0.0)
+    bv, nb, spb = block_layout(cfg)
+    V = cfg.num_voxels
 
-    # Argmax over slots by (track weight, then lowest track id), restricted to
+    def lanes(a):
+        return a.reshape(nb, spb)
+
+    d_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, spb), 1) % K
+
+    def lane_shift(x, s):
+        """out[:, j] = x[:, j - s] (edge pads never selected: shifts stay
+        within each voxel's K lanes)."""
+        if s == 0:
+            return x
+        pad = jnp.zeros((nb, abs(s)), x.dtype)
+        if s > 0:
+            return jnp.concatenate([pad, x[:, : spb - s]], axis=1)
+        return jnp.concatenate([x[:, -s:], pad], axis=1)
+
+    trk_l = lanes(p.track)
+    con_l = lanes(contrib)
+    ts_l = con_l
+    for s in range(1, K):
+        # voxel-circular neighbor at slot (d + s) mod K
+        t_n = jnp.where(d_lane < K - s, lane_shift(trk_l, -s), lane_shift(trk_l, K - s))
+        c_n = jnp.where(d_lane < K - s, lane_shift(con_l, -s), lane_shift(con_l, K - s))
+        ts_l = ts_l + jnp.where(trk_l == t_n, c_n, 0.0)
+    track_sum = ts_l.reshape(V, K)
+
+    # Argmax by (track weight, then lowest track id), restricted to
     # contributing slots with positive summed weight (max_weight starts at 0
     # with a strict '>', operations.h:440-447).
     big = jnp.int32(1 << 30)
-    cand_track = jnp.where(contrib_mask, p.track, big)
     score_ok = contrib_mask & (track_sum > 0.0)
-
-    best_w = jnp.zeros(cfg.num_voxels, jnp.float32)
-    best_track = jnp.zeros(cfg.num_voxels, jnp.int32)
-    found = jnp.zeros(cfg.num_voxels, bool)
-    for j in range(K):
-        tsj = track_sum[:, j]
-        tj = cand_track[:, j]
-        okj = score_ok[:, j]
-        better = okj & (
-            ~found | (tsj > best_w) | ((tsj == best_w) & (tj < best_track))
-        )
-        best_w = jnp.where(better, tsj, best_w)
-        best_track = jnp.where(better, tj, best_track)
-        found = found | okj
+    best_w = jnp.max(jnp.where(score_ok, track_sum, -1.0), axis=1)
+    found = best_w > 0.0
+    bw_s = jnp.repeat(best_w, K).reshape(V, K)
+    is_best = score_ok & (track_sum == bw_s)
+    best_track = jnp.min(jnp.where(is_best, p.track, big), axis=1)
 
     # Label of the winning track = label of the highest-index contributing
     # slot carrying that track (last writer wins in the reference's map,
-    # operations.h:435).
-    best_label = jnp.zeros(cfg.num_voxels, jnp.int32)
-    for j in range(K):
-        match = contrib_mask[:, j] & (p.track[:, j] == best_track)
-        best_label = jnp.where(match, p.label[:, j], best_label)
+    # operations.h:435): encode (slot << 8 | label) and max-reduce.
+    bt_s = jnp.repeat(best_track, K).reshape(V, K)
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (V, K), 1)
+    match = contrib_mask & (p.track == bt_s)
+    pick = jnp.max(jnp.where(match, (slot_idx << 8) | (p.label & 0xFF), -1), axis=1)
+    best_label = jnp.where(pick >= 0, pick & 0xFF, 0)
 
     best_track = jnp.where(found, best_track, 0)
     best_label = jnp.where(found, best_label, 0)
@@ -128,10 +153,6 @@ def render_occupancy(
         ),
     ).astype(jnp.int32)
 
-    voxel_pos = codecs.voxel_to_global_pos(
-        cfg, state.scroll, jnp.arange(cfg.num_voxels, dtype=jnp.int32)
-    )
-
     # Side effects: clamp stored weights, GC feeble UPDATED particles — but
     # only in *valid* voxels: the reference's reduction early-returns before
     # touching particles when the voxel is invalid (operations.h:401-407).
@@ -147,7 +168,6 @@ def render_occupancy(
         label=best_label,
         track=best_track,
         weight_sum=weight_sum,
-        voxel_pos=voxel_pos,
     )
 
 
@@ -291,10 +311,6 @@ def render_occupancy_smoothed(
         ),
     ).astype(jnp.int32)
 
-    voxel_pos = codecs.voxel_to_global_pos(
-        cfg, state.scroll, jnp.arange(V, dtype=jnp.int32)
-    )
-
     # Same storage side effects as the plain reduction (:533-543).
     touched = alive & vvalid[:, None]
     new_weight = jnp.where(touched, w_clamped, w)
@@ -308,5 +324,4 @@ def render_occupancy_smoothed(
         label=best_label,
         track=best_track,
         weight_sum=weight_sum,
-        voxel_pos=voxel_pos,
     )

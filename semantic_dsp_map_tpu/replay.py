@@ -32,7 +32,7 @@ from .config import (
 from .datasets import Frame, Kitti360Sequence, NpzSequence, VirtualKitti2Sequence
 from .labels import LabelRegistry
 from .map import SemanticDSPMap
-from .viz import colorize, in_fov_mask
+from .viz import colorize, in_fov_mask, voxel_positions
 
 
 _PRESETS = {
@@ -103,8 +103,11 @@ def run_replay(
 def _write_frame_ply(dsp: SemanticDSPMap, result, frame: Frame, path_prefix: str):
     from .io import write_ply
 
-    fov = in_fov_mask(dsp.cfg, result, frame.cam_pos, frame.cam_quat)
-    clouds = colorize(dsp.cfg, dsp.params, dsp.registry, result, frame.cam_pos, fov)
+    vpos = voxel_positions(dsp.cfg, dsp.state.scroll)
+    fov = in_fov_mask(dsp.cfg, vpos, frame.cam_pos, frame.cam_quat)
+    clouds = colorize(
+        dsp.cfg, dsp.params, dsp.registry, result, frame.cam_pos, vpos, fov
+    )
     write_ply(path_prefix + "_occupied.ply", clouds["occupied_xyz"], clouds["occupied_rgb"])
     if dsp.params.if_output_freespace:
         write_ply(

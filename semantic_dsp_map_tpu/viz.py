@@ -16,6 +16,22 @@ from .labels import LabelRegistry
 from .ops.render import RenderResult
 
 
+def voxel_positions(cfg: MapConfig, scroll) -> np.ndarray:
+    """Global-frame corner position of every voxel, f32[V, 3] — the host
+    mirror of codecs.voxel_to_global_pos (operations.h:939-983); pure index
+    arithmetic on the (tiny) scroll state."""
+    equiv = np.asarray(scroll.equiv_steps).astype(np.int64)
+    center = np.asarray(scroll.map_center, np.float32)
+    n = np.array([cfg.nx, cfg.ny, cfg.nz], np.int64)
+    v = np.arange(cfg.num_voxels, dtype=np.int64)
+    xi = v & (cfg.nx - 1)
+    yi = (v >> cfg.voxel_num_axis_x_n) & (cfg.ny - 1)
+    zi = v >> (cfg.voxel_num_axis_x_n + cfg.voxel_num_axis_y_n)
+    m = (np.stack([xi, yi, zi], -1) - equiv) % n
+    half = np.array(cfg.map_half_extent, np.float32)
+    return (m.astype(np.float32) * np.float32(cfg.voxel_size) - half + center)
+
+
 def _jet_table():
     """The constructor's hand-rolled jet colormap (semantic_dsp_map.h:51-63)."""
     t = np.zeros((256, 3), np.int32)
@@ -45,7 +61,7 @@ _SHUF = _shuffled_256()
 
 def in_fov_mask(
     cfg: MapConfig,
-    result: RenderResult,
+    voxel_pos: np.ndarray,
     cam_pos: np.ndarray,
     cam_quat: np.ndarray,
 ) -> np.ndarray:
@@ -65,7 +81,7 @@ def in_fov_mask(
         ],
         np.float32,
     )
-    pos = np.asarray(result.voxel_pos, np.float32)
+    pos = np.asarray(voxel_pos, np.float32)
     cam = (pos - np.asarray(cam_pos, np.float32).reshape(1, 3)) @ r_wc
     cx, cy, cz = cam[:, 0], cam[:, 1], cam[:, 2]
     ok = (cz >= cfg.depth_range_min) & (cz <= cfg.depth_range_max)
@@ -86,13 +102,16 @@ def colorize(
     registry: LabelRegistry,
     result: RenderResult,
     cam_pos: np.ndarray,
+    voxel_pos: np.ndarray,
     in_fov_mask: np.ndarray | None = None,
 ):
-    """Returns dict with occupied/freespace xyz+rgb arrays."""
+    """Returns dict with occupied/freespace xyz+rgb arrays.
+
+    ``voxel_pos`` comes from :func:`voxel_positions` (host-side)."""
     occ = np.asarray(result.occ)
     label = np.asarray(result.label)
     track = np.asarray(result.track)
-    pos = np.asarray(result.voxel_pos)
+    pos = np.asarray(voxel_pos)
 
     occupied = occ == 1
     guessed = occ == 2

@@ -144,7 +144,8 @@ def test_evaluation_format_roundtrip():
     _, res = render_occupancy_smoothed(cfg, state, 0.2)
 
     params = FilterParams(if_out_evaluation_format=True)
-    out = viz.colorize(cfg, params, registry, res, np.zeros(3, np.float32))
+    vpos = viz.voxel_positions(cfg, state.scroll)
+    out = viz.colorize(cfg, params, registry, res, np.zeros(3, np.float32), vpos)
 
     occ = np.asarray(res.occ)
     lab = np.asarray(res.label)

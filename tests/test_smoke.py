@@ -34,7 +34,9 @@ def test_smoke_static_wall():
     occ = np.asarray(result.occ)
     assert (occ == 1).sum() > 0, "wall voxels should become occupied"
     # The wall is at z=3, voxel size 0.25 -> occupied voxels near z=3.
-    vp = np.asarray(result.voxel_pos)
+    from semantic_dsp_map_tpu.viz import voxel_positions
+
+    vp = voxel_positions(cfg, dsp.state.scroll)
     occ_z = vp[occ == 1][:, 2]
     assert np.all(occ_z > 1.0) and np.all(occ_z < 2.0)
     # Building label (6) should dominate the occupied voxels.
@@ -51,7 +53,9 @@ def test_smoke_freespace_and_unknown():
         result, _ = dsp.update(make_depth(cfg), [static_mask(cfg)], pos, quat, t * 0.1)
     occ = np.asarray(result.occ)
     # Space between camera and wall should be observed free; behind camera unknown.
-    vp = np.asarray(result.voxel_pos)
+    from semantic_dsp_map_tpu.viz import voxel_positions
+
+    vp = voxel_positions(cfg, dsp.state.scroll)
     behind = vp[:, 2] < -0.5
     assert (occ[behind] == -1).all(), "voxels behind the camera stay unknown"
     assert (occ == 0).sum() > 0, "free voxels in front of the wall"
