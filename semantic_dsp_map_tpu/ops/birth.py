@@ -171,11 +171,13 @@ def _insert_core(
     valid = cand.valid & in_map
     vox = jnp.where(valid, vox, V)
 
+    # Candidate fields may arrive in the narrow storage dtypes (u8/u16, e.g.
+    # from the rigid-move gather); cast before the shifts.
     meta = (
-        (jnp.clip(cand.forget, 0, 7) << 27)
-        | (jnp.clip(cand.status, 0, 7) << 24)
-        | ((cand.label & 0xFF) << 16)
-        | (cand.track & 0xFFFF)
+        (jnp.clip(cand.forget.astype(jnp.int32), 0, 7) << 27)
+        | (jnp.clip(cand.status.astype(jnp.int32), 0, 7) << 24)
+        | ((cand.label.astype(jnp.int32) & 0xFF) << 16)
+        | (cand.track.astype(jnp.int32) & 0xFFFF)
     )
 
     # One multi-operand sort orders candidates by (voxel, priority) and

@@ -116,13 +116,17 @@ def scatter_rows(
 ) -> jax.Array:
     """Write working-set rows back into the full field.
 
-    Padding rows carry id == nb and are dropped by the scatter.
+    Padding rows carry id == nb and are dropped by the scatter.  Values are
+    cast to the field dtype (working sets compute in i32/f32; narrow storage
+    dtypes keep the full-state traffic down).
     """
     v = field.shape[0]
     nb = v // block_voxels
     rows = field.reshape(nb, -1)
     out = rows.at[blocks.ids].set(
-        values.reshape(values.shape[0], -1), mode="drop", unique_indices=True
+        values.reshape(values.shape[0], -1).astype(field.dtype),
+        mode="drop",
+        unique_indices=True,
     )
     return out.reshape(field.shape)
 

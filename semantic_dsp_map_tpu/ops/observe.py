@@ -132,7 +132,9 @@ def observe_and_update(
     pix = jnp.where(bcand, brow * W + bcol, HW)
     n_work = A * spb
     src = jax.lax.broadcasted_iota(jnp.int32, (n_work, 1), 0).squeeze(-1)
-    meta = (btrack << 8) | (bforget & 0xFF)
+    # Cast up front: the storage dtypes are u16/u8 and would overflow the
+    # shift (track 65535 << 8 wraps in u16).
+    meta = (btrack.astype(jnp.int32) << 8) | (bforget.astype(jnp.int32) & 0xFF)
 
     # ---- one multi-operand sort by (pixel, camera depth) ----
     (pix_s, _camz_s, px_s, py_s, pz_s, w_s, meta_s, src_s) = jax.lax.sort(

@@ -432,10 +432,13 @@ def phd_weight_update(
     return particles.replace(
         weight=particles.weight.at[fi].set(nw, mode="drop", unique_indices=True),
         status=particles.status.at[fi].set(
-            STATUS_UPDATED, mode="drop", unique_indices=True
+            jnp.asarray(STATUS_UPDATED, particles.status.dtype),
+            mode="drop", unique_indices=True,
         ),
         stamp=particles.stamp.at[fi].set(
             global_time, mode="drop", unique_indices=True
         ),
-        forget=particles.forget.at[fi].set(nf, mode="drop", unique_indices=True),
+        forget=particles.forget.at[fi].set(
+            nf.astype(particles.forget.dtype), mode="drop", unique_indices=True
+        ),
     )

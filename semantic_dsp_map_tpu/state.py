@@ -51,11 +51,12 @@ class Particles:
     py: jax.Array       # f32[V*K]
     pz: jax.Array       # f32[V*K]
     weight: jax.Array   # f32[V*K]
-    label: jax.Array    # i32[V*K] semantic label id
-    track: jax.Array    # i32[V*K] instance / track id
-    status: jax.Array   # i32[V*K] STATUS_*
-    forget: jax.Array   # i32[V*K] forgetting counter
-    stamp: jax.Array    # i32[V*K] birth/update time stamp
+    label: jax.Array    # u8[V*K] semantic label id (buffer.h:66 u16, values <= 255)
+    track: jax.Array    # u16[V*K] instance / track id (buffer.h:65)
+    status: jax.Array   # u8[V*K] STATUS_* (buffer.h:69 u8)
+    forget: jax.Array   # u8[V*K] forgetting counter (buffer.h:70 u8)
+    stamp: jax.Array    # i32[V*K] birth/update time stamp (u16 in buffer.h:64;
+                        #          widened — no wraparound handling needed)
 
 
 def particles_vk(cfg: MapConfig, p: Particles) -> Particles:
@@ -158,10 +159,10 @@ def init_particles(cfg: MapConfig) -> Particles:
         py=jnp.zeros(n, jnp.float32),
         pz=jnp.zeros(n, jnp.float32),
         weight=jnp.zeros(n, jnp.float32),
-        label=jnp.zeros(n, jnp.int32),
-        track=jnp.zeros(n, jnp.int32),
-        status=jnp.zeros(n, jnp.int32),
-        forget=jnp.zeros(n, jnp.int32),
+        label=jnp.zeros(n, jnp.uint8),
+        track=jnp.zeros(n, jnp.uint16),
+        status=jnp.zeros(n, jnp.uint8),
+        forget=jnp.zeros(n, jnp.uint8),
         stamp=jnp.zeros(n, jnp.int32),
     )
 
