@@ -60,7 +60,7 @@ def synth_zed2_frame(cfg, t):
     return depth, masks, pos, quat
 
 
-def synth_vkitti2_frame(cfg, t):
+def synth_vkitti2_frame(cfg, t, car_h_div=6, car_w_div=8):
     """VKITTI2-like frame: ground + buildings + a moving car."""
     from semantic_dsp_map_tpu.frontend import MaskKpts
 
@@ -77,7 +77,7 @@ def synth_vkitti2_frame(cfg, t):
 
     car = np.zeros((H, W), np.uint8)
     cx0 = int((0.2 + 0.02 * t) * W) % W
-    car[H // 2 : H // 2 + H // 6, cx0 : cx0 + W // 8] = 1
+    car[H // 2 : H // 2 + H // car_h_div, cx0 : cx0 + W // car_w_div] = 1
     car_z = 12.0
     depth[car > 0] = car_z
 
@@ -97,13 +97,16 @@ def synth_vkitti2_frame(cfg, t):
     return depth, masks, pos, quat
 
 
-def run_config(name, cfg, params, synth, iters, warmup=3):
+def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
     import jax
 
     from semantic_dsp_map_tpu import SemanticDSPMap
     from semantic_dsp_map_tpu.labels import LabelRegistry
 
     dsp = SemanticDSPMap(cfg, params, LabelRegistry.default())
+    if template_path:
+        n_tpl = dsp.set_template_path(template_path)
+        assert n_tpl > 0, "no templates loaded"
     frames = [synth(cfg, t) for t in range(warmup + iters)]
 
     updates = 0
@@ -168,7 +171,24 @@ def main():
         max(10, iters // 2),
     )
 
-    details = {"zed2": zed2, "vkitti2": vkitti2}
+    # Template-matching flag-on run (semantic_dsp_map.h:806-894): smaller car
+    # mask so the observed point count sits in the 1500..8000 template-birth
+    # window; committed CAD-stand-in template bank under data/templates.
+    tpl_params = FilterParams(
+        detection_probability=0.98, noise_number=0.001, nb_ptc_num_per_point=1,
+        occupancy_threshold=0.5, max_observation_lost_time=5,
+        if_consider_depth_noise=True,
+        depth_noise_model_first_order=0.01, depth_noise_model_zero_order=0.2,
+        if_use_template_matching=True, match_score_threshold=0.2,
+    )
+    tpl = run_config(
+        "vkitti2_template", virtual_kitti2_config(), tpl_params,
+        lambda c, t: synth_vkitti2_frame(c, t, car_h_div=8, car_w_div=14),
+        max(6, iters // 8),
+        template_path=os.path.join(os.path.dirname(__file__) or ".", "data", "templates"),
+    )
+
+    details = {"zed2": zed2, "vkitti2": vkitti2, "vkitti2_template": tpl}
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1)
 

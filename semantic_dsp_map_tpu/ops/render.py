@@ -49,19 +49,27 @@ class RenderResult(NamedTuple):
     # array on device pays a tiny-minor-dim layout penalty every frame.
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def render_occupancy(
-    cfg: MapConfig,
-    state: MapState,
-    occupancy_threshold: float,
-):
-    """Returns (particles_after_gc, RenderResult)."""
-    p = particles_vk(cfg, state.particles)
-    K = cfg.slots_per_voxel
+def _render_chunk(cfg: MapConfig, occupancy_threshold: float,
+                  weight_f, label_f, track_f, status_f, stamp_f, vax, vst):
+    """Per-voxel reduction over one contiguous chunk of voxels.
 
-    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
-    alive = codecs.particle_alive(p.status, p.stamp, vox_axis_stamp)
-    vvalid = codecs.voxel_valid(state.voxel_stamp, vox_axis_stamp)
+    All render math is voxel-local, so big grids stream through fixed-size
+    chunks (lax.map in render_occupancy) — the fused whole-grid program
+    planned 28.6 GB of HBM at KITTI-360 scale.  Returns (occ, label, track,
+    weight_sum, new_weight_flat, new_status_flat)."""
+    K = cfg.slots_per_voxel
+    Vc = vax.shape[0]
+
+    class _P:
+        weight = weight_f.reshape(Vc, K)
+        label = label_f.reshape(Vc, K)
+        track = track_f.reshape(Vc, K)
+        status = status_f.reshape(Vc, K)
+        stamp = stamp_f.reshape(Vc, K)
+
+    p = _P
+    alive = (p.status != STATUS_INVALID) & (p.stamp >= vax[:, None])
+    vvalid = (vst != 0) & (vst >= vax)
 
     w = p.weight
     # weight_sum accumulates the *pre-clamp* weights (operations.h:414).
@@ -87,8 +95,9 @@ def render_occupancy(
     contrib_mask = alive & ~gc
     contrib = jnp.where(contrib_mask, w_clamped, 0.0)
 
-    bv, nb, spb = block_layout(cfg)
-    V = cfg.num_voxels
+    bv, _nb_full, spb = block_layout(cfg)
+    V = Vc
+    nb = Vc * K // spb
 
     def lanes(a):
         return a.reshape(nb, spb)
@@ -159,15 +168,52 @@ def render_occupancy(
     touched = alive & vvalid[:, None]
     new_weight = jnp.where(touched, w_clamped, w)
     new_status = jnp.where(gc & vvalid[:, None], STATUS_INVALID, p.status)
-    particles = state.particles.replace(
-        weight=new_weight.reshape(-1), status=new_status.reshape(-1)
-    )
 
+    return (occ, best_label, best_track, weight_sum,
+            new_weight.reshape(-1), new_status.reshape(-1))
+
+
+#: Voxels per render chunk; bounds the temporaries of the per-voxel
+#: reduction so KITTI-360-scale grids fit in HBM.
+RENDER_CHUNK_VOXELS = 1 << 20
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def render_occupancy(
+    cfg: MapConfig,
+    state: MapState,
+    occupancy_threshold: float,
+):
+    """Returns (particles_after_gc, RenderResult)."""
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
+    p = state.particles
+
+    chunk = min(V, RENDER_CHUNK_VOXELS)
+    n_chunks = V // chunk
+
+    if n_chunks == 1:
+        occ, lab, trk, ws, nw, ns = _render_chunk(
+            cfg, occupancy_threshold, p.weight, p.label, p.track,
+            p.status, p.stamp, vox_axis_stamp, state.voxel_stamp,
+        )
+    else:
+        rs = lambda a: a.reshape(n_chunks, -1)
+
+        def body(args):
+            return _render_chunk(cfg, occupancy_threshold, *args)
+
+        occ, lab, trk, ws, nw, ns = jax.lax.map(
+            body,
+            (rs(p.weight), rs(p.label), rs(p.track), rs(p.status),
+             rs(p.stamp), rs(vox_axis_stamp), rs(state.voxel_stamp)),
+        )
+        occ, lab, trk, ws = (a.reshape(-1) for a in (occ, lab, trk, ws))
+        nw, ns = nw.reshape(-1), ns.reshape(-1)
+
+    particles = p.replace(weight=nw, status=ns.astype(p.status.dtype))
     return particles, RenderResult(
-        occ=occ,
-        label=best_label,
-        track=best_track,
-        weight_sum=weight_sum,
+        occ=occ, label=lab, track=trk, weight_sum=ws,
     )
 
 
