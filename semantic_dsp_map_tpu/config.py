@@ -206,6 +206,12 @@ class MapConfig:
     #: (and the oracle the kernels are tested against).
     use_pallas_phd: bool = True
 
+    #: Run the occupancy render reduction as one fused Pallas kernel when
+    #: the default backend is TPU (ops/render_pallas.py; 232 -> 28 ms at
+    #: VKITTI2 scale).  The XLA reduction in ops/render.py is the fallback
+    #: (and the oracle the kernel is tested against).
+    use_pallas_render: bool = True
+
     #: Max per-frame newborn candidates actually considered is
     #: H*W*nb_ptc_num_per_point (dense, no cap needed); this caps the number
     #: of *moving-object* particles gathered for rigid moves per frame.

@@ -178,8 +178,28 @@ def _render_chunk(cfg: MapConfig, occupancy_threshold: float,
 RENDER_CHUNK_VOXELS = 1 << 20
 
 
-@partial(jax.jit, static_argnums=(0, 2))
 def render_occupancy(
+    cfg: MapConfig,
+    state: MapState,
+    occupancy_threshold: float,
+):
+    """Returns (particles_after_gc, RenderResult).
+
+    Dispatches to the fused Pallas kernel on TPU (ops/render_pallas.py);
+    the XLA reduction below is the fallback and the tested oracle."""
+    from .render_pallas import render_occupancy_pallas, render_pallas_supported
+
+    if (
+        cfg.use_pallas_render
+        and jax.default_backend() == "tpu"
+        and render_pallas_supported(cfg)
+    ):
+        return render_occupancy_pallas(cfg, state, occupancy_threshold)
+    return render_occupancy_xla(cfg, state, occupancy_threshold)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def render_occupancy_xla(
     cfg: MapConfig,
     state: MapState,
     occupancy_threshold: float,
