@@ -212,6 +212,10 @@ class MapConfig:
     #: (and the oracle the kernel is tested against).
     use_pallas_render: bool = True
 
+    #: Run observe's dense candidate pass as a Pallas kernel on TPU
+    #: (ops/observe_pallas.py; ~32 -> ~4 ms at VKITTI2 scale).
+    use_pallas_observe: bool = True
+
     #: Max per-frame newborn candidates actually considered is
     #: H*W*nb_ptc_num_per_point (dense, no cap needed); this caps the number
     #: of *moving-object* particles gathered for rigid moves per frame.
@@ -374,6 +378,12 @@ def virtual_kitti2_config(**overrides) -> MapConfig:
         depth_range_min=0.3, depth_range_max=30.0,
         movement_mode=MOVEMENT_BAYESIAN,
         keypoint_mode=KEYPOINTS_SUPERPOINT,
+        # Right-sized work buffers (round-4 probe on the bench scene: 1907
+        # active blocks, <512k compact entries; every element gather/scatter
+        # runs at ~6-11 ns/element so oversizing costs real milliseconds).
+        # Overflow is never silent (StepDiagnostics.*_overflow).
+        max_active_blocks=4096,
+        max_table_entries=1 << 19,
     )
     base.update(overrides)
     return MapConfig(**base)

@@ -100,15 +100,29 @@ def observe_and_update(
 
     # ---- dense [V, K] pass: who can project into the image ----
     vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
-    alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis)
-    _, _, _, proj_ok = project_to_image_xyz(
-        cfg, r_cw, t_cw, particles.px, particles.py, particles.pz
-    )
-    cand = proj_ok & alive
-    has_alive = jnp.any(alive, axis=1)
+    from .observe_pallas import front_candidates, front_pallas_supported
+
+    if (
+        cfg.use_pallas_observe
+        and jax.default_backend() == "tpu"
+        and front_pallas_supported(cfg)
+    ):
+        ha_u8, hc_u8 = front_candidates(cfg, flat, scroll, r_cw, t_cw)
+        has_alive = ha_u8 != 0
+        block_mask = jnp.any(hc_u8.reshape(nb, bv) != 0, axis=1)
+    else:
+        alive = codecs.particle_alive(
+            particles.status, particles.stamp, vox_axis
+        )
+        _, _, _, proj_ok = project_to_image_xyz(
+            cfg, r_cw, t_cw, particles.px, particles.py, particles.pz
+        )
+        cand = proj_ok & alive
+        has_alive = jnp.any(alive, axis=1)
+        block_mask = mask_to_block_mask(cand, bv)
 
     # ---- active-block working set ----
-    blocks = select_blocks(mask_to_block_mask(cand, bv), A)
+    blocks = select_blocks(block_mask, A)
     rv = row_valid(blocks)
 
     g = lambda f: gather_rows(f, blocks, bv)
