@@ -384,6 +384,7 @@ def virtual_kitti2_config(**overrides) -> MapConfig:
         # Overflow is never silent (StepDiagnostics.*_overflow).
         max_active_blocks=4096,
         max_table_entries=1 << 19,
+        max_birth_blocks=4096,
     )
     base.update(overrides)
     return MapConfig(**base)

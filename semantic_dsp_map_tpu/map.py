@@ -114,7 +114,6 @@ def _move_and_cleanup(
     particles = particles_vk(cfg, particles)  # [V, K] views
 
     vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
-    alive = codecs.particle_alive(particles.status, particles.stamp, vox_axis)
 
     mv_obj = objects.valid & objects.has_moved_record & objects.moving & objects.has_tmatrix
     if params.if_use_template_matching:
@@ -127,13 +126,27 @@ def _move_and_cleanup(
     # id — a tiny subset of the state — so the object-id comparisons run on
     # a block working set, not the full [V, K] domain (a dense [V, K, 8]
     # broadcast cost ~160 ms/frame at VKITTI2 scale, round-3 bisection).
-    track = particles.track
-    movable_p = alive & (track >= 0) & (track <= max_movable)
+    from .ops.observe_pallas import front_pallas_supported, movable_voxels
 
-    blocks = select_blocks(mask_to_block_mask(movable_p, bv), A)
+    if (
+        cfg.use_pallas_observe
+        and jax.default_backend() == "tpu"
+        and front_pallas_supported(cfg)
+    ):
+        movable_vox = movable_voxels(cfg, flat, scroll, max_movable) != 0
+        block_mask = jnp.any(movable_vox.reshape(nb, bv), axis=1)
+    else:
+        alive = codecs.particle_alive(
+            particles.status, particles.stamp, vox_axis
+        )
+        track = particles.track
+        movable_p = alive & (track >= 0) & (track <= max_movable)
+        block_mask = mask_to_block_mask(movable_p, bv)
+
+    blocks = select_blocks(block_mask, A)
     rv = row_valid(blocks)
     g = lambda f: gather_rows(f, blocks, bv)
-    btrk = g(track)
+    btrk = g(particles.track)
     bst = g(particles.status)
     bstamp = g(particles.stamp)
     baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
@@ -214,7 +227,9 @@ def _move_and_cleanup(
             priority=jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1),
             valid=bmove.reshape(-1),
         )
-        res = _insert_core(cfg, flat_p, scroll, cand, resample_targets=False)
+        res = _insert_core(
+            cfg, flat_p, scroll, cand, resample_targets=False, need_src=False
+        )
         return res.particles, res.accepted_count, blocks.overflow
 
     def no_move(operands):

@@ -43,6 +43,7 @@ from ..state import (
     STATUS_REGULAR_BORN,
     STATUS_UPDATED,
     particles_vk,
+    particles_vk_sized,
 )
 from . import codecs
 from .blocks import ActiveBlocks, block_layout, gather_rows, group_rank, scatter_rows
@@ -143,7 +144,8 @@ class InsertResult(NamedTuple):
     particles: Particles
     accepted_count: jax.Array   # i32 scalar
     accepted_staged: jax.Array  # bool[A, spb] staged-candidate acceptance
-    staged_src: jax.Array       # i32[A, spb] original candidate index (or N)
+    staged_src: jax.Array       # i32[A, spb] original candidate index (or N);
+                                # None unless need_src
     block_overflow: jax.Array   # i32 scalar
 
 
@@ -153,22 +155,37 @@ def _insert_core(
     scroll: ScrollState,
     cand: Candidates,
     resample_targets: bool,
+    need_src: bool = True,
+    uniform_weight=None,
+    uniform_stamp=None,
+    vox=None,
+    valid=None,
+    vox_axis=None,
 ) -> InsertResult:
     """Sort candidates by (voxel, priority), stage the first K per voxel into
     the active target blocks, optionally resample the targeted voxels, then
-    merge staged candidates into first-vacant slots and write rows back."""
+    merge staged candidates into first-vacant slots and write rows back.
+
+    Works on a voxel SLAB as well as the full grid: sizes derive from the
+    particle arrays, and callers may pass precomputed (vox, valid, vox_axis)
+    in slab-local voxel ids (parallel/shard_step.py does; the full-grid
+    wrappers below leave them None and they are derived from ``scroll``)."""
     K = cfg.slots_per_voxel
     N = cand.pos.shape[0]
-    V = cfg.num_voxels
-    bv, nb, spb = block_layout(cfg)
+    V = particles.px.shape[0] // K
+    bv, _nb_full, spb = block_layout(cfg)
+    nb = V // bv
     A = min(cfg.max_birth_blocks, nb)
     bv_n = bv.bit_length() - 1
 
     flat = particles          # flat storage (linear layout)
-    particles = particles_vk(cfg, particles)  # [V, K] views
+    particles = particles_vk_sized(particles, V, K)
 
-    vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
-    valid = cand.valid & in_map
+    if vox is None:
+        vox, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, cand.pos)
+        valid = cand.valid & in_map
+    if vox_axis is None:
+        vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
     vox = jnp.where(valid, vox, V)
 
     # Candidate fields may arrive in the narrow storage dtypes (u8/u16, e.g.
@@ -181,21 +198,27 @@ def _insert_core(
     )
 
     # One multi-operand sort orders candidates by (voxel, priority) and
-    # carries every field along (payload operands are nearly free on TPU).
-    (sv, _pri, spx, spy, spz, sw, sstamp, smeta, ssrc) = jax.lax.sort(
-        (
-            vox,
-            cand.priority,
-            cand.pos[:, 0],
-            cand.pos[:, 1],
-            cand.pos[:, 2],
-            cand.weight,
-            cand.stamp,
-            meta,
-            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1),
-        ),
-        num_keys=2,
-    )
+    # carries every field along.  Payload operands are NOT free (each adds
+    # a full per-pass data stream), so uniform fields (newborns share one
+    # weight and one stamp) and unused fields are excluded up front.
+    ops = [vox, cand.priority, cand.pos[:, 0], cand.pos[:, 1],
+           cand.pos[:, 2], meta]
+    if uniform_weight is None:
+        ops.append(cand.weight)
+    if uniform_stamp is None:
+        ops.append(cand.stamp)
+    if need_src:
+        ops.append(jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1))
+    sorted_ops = list(jax.lax.sort(tuple(ops), num_keys=2))
+    sv, _pri, spx, spy, spz, smeta = sorted_ops[:6]
+    pos6 = 6
+    sw = sstamp = ssrc = None
+    if uniform_weight is None:
+        sw = sorted_ops[pos6]; pos6 += 1
+    if uniform_stamp is None:
+        sstamp = sorted_ops[pos6]; pos6 += 1
+    if need_src:
+        ssrc = sorted_ops[pos6]
     rank = group_rank(sv)
     stage_ok = (sv < V) & (rank < K)
 
@@ -234,10 +257,17 @@ def _insert_core(
     in_px = stage(0.0, spx, jnp.float32)
     in_py = stage(0.0, spy, jnp.float32)
     in_pz = stage(0.0, spz, jnp.float32)
-    in_w = stage(0.0, sw, jnp.float32)
-    in_stamp = stage(0, sstamp, jnp.int32)
     in_meta = stage(-1, smeta, jnp.int32)
-    staged_src = stage(N, ssrc, jnp.int32)
+    occupied_stage = in_meta >= 0
+    if uniform_weight is None:
+        in_w = stage(0.0, sw, jnp.float32)
+    else:
+        in_w = jnp.where(occupied_stage, jnp.float32(uniform_weight), 0.0)
+    if uniform_stamp is None:
+        in_stamp = stage(0, sstamp, jnp.int32)
+    else:
+        in_stamp = jnp.where(occupied_stage, uniform_stamp, 0)
+    staged_src = stage(N, ssrc, jnp.int32) if need_src else None
 
     # ---- working set of the target blocks ----
     g = lambda f: gather_rows(f, blocks, bv)
@@ -245,7 +275,6 @@ def _insert_core(
     bw, blab, btrk = g(particles.weight), g(particles.label), g(particles.track)
     bst, bstamp, bfg = g(particles.status), g(particles.stamp), g(particles.forget)
 
-    vox_axis = codecs.axis_stamps_per_voxel(cfg, scroll)
     baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
     # Stale slots count as vacant (operations.h:810-816); also prune them so
     # downstream status checks (e.g. resampling) cannot see stale UPDATED
@@ -391,11 +420,17 @@ def insert_with_resample(
     particles: Particles,
     scroll: ScrollState,
     cand: Candidates,
+    uniform_weight=None,
+    uniform_stamp=None,
 ):
     """Production insertion: resample targeted voxels first, then insert.
 
     Returns (particles', accepted_count, block_overflow)."""
-    res = _insert_core(cfg, particles, scroll, cand, resample_targets=True)
+    res = _insert_core(
+        cfg, particles, scroll, cand, resample_targets=True,
+        need_src=False, uniform_weight=uniform_weight,
+        uniform_stamp=uniform_stamp,
+    )
     return res.particles, res.accepted_count, res.block_overflow
 
 
@@ -472,5 +507,11 @@ def birth_and_resample(
     Returns (particles', born_count, block_overflow, candidates).
     """
     cand = newborn_candidates(cfg, params, cloud, global_time, rng)
-    particles, born, overflow = insert_with_resample(cfg, particles, scroll, cand)
+    # Newborns share one weight and one stamp — passing them as uniforms
+    # drops two sort payloads and two N-sized staging scatters.
+    particles, born, overflow = insert_with_resample(
+        cfg, particles, scroll, cand,
+        uniform_weight=PARTICLE_OCC_INIT_WEIGHT,
+        uniform_stamp=global_time,
+    )
     return particles, born, overflow, cand

@@ -137,6 +137,17 @@ def axis_stamps_per_voxel(cfg: MapConfig, scroll: ScrollState):
     return jnp.broadcast_to(out, (cfg.nz, cfg.ny, cfg.nx)).reshape(-1)
 
 
+def axis_stamps_per_voxel_slab(cfg: MapConfig, scroll: ScrollState, z0, nz_loc: int):
+    """axis_stamps_per_voxel for a z-slab [z0, z0 + nz_loc) of the grid —
+    the per-device view under voxel-slab sharding (the flat voxel index is
+    z-major, so an even split of [V] is a z-slab).  ``z0`` may be traced."""
+    sz = jax.lax.dynamic_slice(scroll.axis_stamp_z, (z0,), (nz_loc,))
+    sx = scroll.axis_stamp_x[None, None, :]
+    sy = scroll.axis_stamp_y[None, :, None]
+    out = jnp.maximum(jnp.maximum(sx, sy), sz[:, None, None])
+    return jnp.broadcast_to(out, (nz_loc, cfg.ny, cfg.nx)).reshape(-1)
+
+
 def particle_alive(particles_status, particles_stamp, voxel_axis_stamp):
     """isParticleVacant negation (operations.h:810-816): a slot holds a live
     particle iff status != INVALID and its stamp is not older than the last

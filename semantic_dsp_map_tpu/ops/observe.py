@@ -263,6 +263,7 @@ def refresh_empty_voxel_stamps(
     r_cw: jax.Array,
     t_cw: jax.Array,
     global_time,
+    vox_base=0,
 ):
     """Stamp voxels with no live particles whose corner point projects in
     front of the measured surface (operations.h:1414-1431).
@@ -271,15 +272,20 @@ def refresh_empty_voxel_stamps(
     "imaginary particle in the central of the voxel" uses idx*size + p_min
     (operations.h:969-983).  Runs over 512-voxel blocks of the frustum, the
     only element gather being the depth lookup on the needed voxels.
+
+    ``vox_base`` offsets local voxel ids to global ones (voxel-slab sharding,
+    parallel/shard_step.py); sizes derive from ``voxel_stamp``.
     """
-    V = cfg.num_voxels
+    V = voxel_stamp.shape[0]
     H, W = cfg.height, cfg.width
     bs = min(512, V)
     nb2 = V // bs
     A2 = min(cfg.corner_gather_blocks, nb2)
 
     corner = codecs.voxel_to_global_pos(
-        cfg, scroll, jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0).squeeze(-1)
+        cfg, scroll,
+        vox_base
+        + jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0).squeeze(-1),
     )
     crow, ccol, cz, cok = project_to_image(cfg, r_cw, t_cw, corner)
     need = ~has_alive & cok

@@ -81,6 +81,71 @@ def _kernel(
     hc_ref[:] = (dot_d(cand.astype(jnp.float32), gsum) > 0.5).astype(jnp.uint8)
 
 
+def _movable_kernel(
+    track_ref, status_ref, stamp_ref, vax_ref,   # VMEM [R, L]
+    hm_ref,                                      # VMEM out [R, G] u8
+    *,
+    K: int,
+    max_movable: int,
+):
+    R, L = track_ref.shape
+    G = L // K
+    st = status_ref[:].astype(jnp.int32)
+    trk = track_ref[:].astype(jnp.int32)
+    alive = (st != STATUS_INVALID) & (stamp_ref[:] >= vax_ref[:])
+    movable = alive & (trk <= max_movable)
+
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, (L, G), 0)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (L, G), 1)
+    gsum = (rows_s // K == cols_s).astype(jnp.float32)
+    dot_d = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hm_ref[:] = (dot_d(movable.astype(jnp.float32), gsum) > 0.5).astype(
+        jnp.uint8
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def movable_voxels(
+    cfg: MapConfig,
+    particles: Particles,
+    scroll,
+    max_movable: int,
+    interpret: bool = False,
+):
+    """Per-voxel any(alive & track <= max_movable) as u8[V] — the dense scan
+    of map._move_and_cleanup without [V, K]-minor layout penalties."""
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    G = _VOX_PER_ROW
+    L = K * G
+    NB = (V * K) // L
+    R = min(_ROWS, NB)
+
+    vax = codecs.axis_stamps_per_voxel(cfg, scroll)
+    vax_slot = jnp.repeat(vax, K)
+
+    resh = lambda a: a.reshape(NB, L)
+    spec_s = pl.BlockSpec((R, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((R, G), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_movable_kernel, K=K, max_movable=max_movable)
+    hm = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NB, G), jnp.uint8),
+        grid=(NB // R,),
+        in_specs=[spec_s] * 4,
+        out_specs=spec_v,
+        interpret=interpret,
+    )(
+        resh(particles.track), resh(particles.status), resh(particles.stamp),
+        resh(vax_slot),
+    )
+    return hm.reshape(-1)
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def front_candidates(
     cfg: MapConfig,

@@ -104,10 +104,16 @@ def table_from_entries(
     rank: jax.Array,    # i32[C] rank within pixel (0 = front)
     keep: jax.Array,    # bool[C] goes into the table
     px, py, pz, weight, track, forget,
+    n_rows: int = 0,
 ) -> PixelTable:
     """Scatter compact entries into the dense table.  (pix, rank) pairs are
-    unique among kept entries, so the scatters vectorize."""
+    unique among kept entries, so the scatters vectorize.
+
+    ``n_rows`` overrides the table row count (a sharded image-row slab with
+    halo, parallel/shard_step.py); ``pix`` is then slab-local."""
     H, W, S = cfg.height, cfg.width, cfg.phd_pixel_table_slots
+    if n_rows:
+        H = n_rows
     n = H * W * S
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (pix.shape[0], 1), 0).squeeze(-1)
     # Unique out-of-range pads: duplicate dropped indices under
@@ -147,8 +153,10 @@ def _pad_shw(a, r, fill):
 def stencil_pass_a(
     cfg: MapConfig, params: FilterParams, t: PixelTable, cloud: LabeledCloud
 ) -> jax.Array:
-    """Pass A: the per-pixel PHD normalizer ck*P_d + kappa, f32[H, W]."""
-    H, W = cfg.height, cfg.width
+    """Pass A: the per-pixel PHD normalizer ck*P_d + kappa, f32[H, W].
+
+    H/W derive from the table (may be an image-row slab with halo)."""
+    _, H, W = t.px.shape
     R = cfg.neighbor_half
     side = 2 * R + 1
     independent = params.if_use_independent_filter
@@ -210,8 +218,8 @@ def stencil_pass_b(
     """Pass B: per-table-entry (new_weight, new_forget) as [H, W, S] arrays.
 
     Entries not in the table keep their weight by construction
-    (new_weight == weight where meta < 0)."""
-    H, W, S = cfg.height, cfg.width, cfg.phd_pixel_table_slots
+    (new_weight == weight where meta < 0).  H/W derive from the table."""
+    S, H, W = t.px.shape
     R = cfg.neighbor_half
     side = 2 * R + 1
     independent = params.if_use_independent_filter

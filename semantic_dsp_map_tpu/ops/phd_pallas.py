@@ -131,9 +131,9 @@ def pass_a_pallas(
     th: int = _TH,
     tw: int = _TW,
 ):
-    """Raw per-pixel ck (before the valid mask / P_d / kappa), f32[H, W]."""
-    S = px.shape[0]
-    H, W = cfg.height, cfg.width
+    """Raw per-pixel ck (before the valid mask / P_d / kappa), f32[H, W].
+    H/W derive from the table (may be an image-row slab with halo)."""
+    S, H, W = px.shape
     R = cfg.neighbor_half
     HT = _cdiv(H, th) * th
     WT = _cdiv(W, tw) * tw
@@ -274,9 +274,9 @@ def pass_b_pallas(
     th: int = _TH,
     tw: int = _TW,
 ):
-    """Returns (acc, right) as f32[S, H, W] (right is a 0/1 indicator)."""
-    S = px.shape[0]
-    H, W = cfg.height, cfg.width
+    """Returns (acc, right) as f32[S, H, W] (right is a 0/1 indicator).
+    H/W derive from the table (may be an image-row slab with halo)."""
+    S, H, W = px.shape
     R = cfg.neighbor_half
     HT = _cdiv(H, th) * th
     WT = _cdiv(W, tw) * tw

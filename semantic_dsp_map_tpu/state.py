@@ -70,6 +70,17 @@ def particles_vk(cfg: MapConfig, p: Particles) -> Particles:
     )
 
 
+def particles_vk_sized(p: Particles, V: int, K: int) -> Particles:
+    """[V, K]-shaped views with explicit sizes (slab-local working copies in
+    parallel/shard_step.py have V = num_voxels / n_devices)."""
+    return Particles(
+        px=p.px.reshape(V, K), py=p.py.reshape(V, K), pz=p.pz.reshape(V, K),
+        weight=p.weight.reshape(V, K), label=p.label.reshape(V, K),
+        track=p.track.reshape(V, K), status=p.status.reshape(V, K),
+        forget=p.forget.reshape(V, K), stamp=p.stamp.reshape(V, K),
+    )
+
+
 def particles_flat(p: Particles) -> Particles:
     """Flatten a [V, K]-view Particles back to storage shape."""
     return Particles(
