@@ -115,16 +115,24 @@ def movable_voxels(
     scroll,
     max_movable: int,
     interpret: bool = False,
+    vox_axis=None,
 ):
     """Per-voxel any(alive & track <= max_movable) as u8[V] — the dense scan
-    of map._move_and_cleanup without [V, K]-minor layout penalties."""
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    of map._move_and_cleanup without [V, K]-minor layout penalties.
+
+    Sizes derive from the particle arrays (slab-local under sharding, with
+    the slab's ``vox_axis`` passed in)."""
+    K = cfg.slots_per_voxel
+    V = particles.px.shape[0] // K
     G = _VOX_PER_ROW
     L = K * G
     NB = (V * K) // L
     R = min(_ROWS, NB)
 
-    vax = codecs.axis_stamps_per_voxel(cfg, scroll)
+    vax = (
+        codecs.axis_stamps_per_voxel(cfg, scroll)
+        if vox_axis is None else vox_axis
+    )
     vax_slot = jnp.repeat(vax, K)
 
     resh = lambda a: a.reshape(NB, L)
@@ -154,15 +162,23 @@ def front_candidates(
     r_cw: jax.Array,
     t_cw: jax.Array,
     interpret: bool = False,
+    vox_axis=None,
 ):
-    """Dense candidate pass: returns (has_alive u8[V], has_cand u8[V])."""
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    """Dense candidate pass: returns (has_alive u8[V], has_cand u8[V]).
+
+    Sizes derive from the particle arrays (slab-local under sharding, with
+    the slab's ``vox_axis`` passed in)."""
+    K = cfg.slots_per_voxel
+    V = particles.px.shape[0] // K
     G = _VOX_PER_ROW
     L = K * G
     NB = (V * K) // L
     R = min(_ROWS, NB)
 
-    vax = codecs.axis_stamps_per_voxel(cfg, scroll)
+    vax = (
+        codecs.axis_stamps_per_voxel(cfg, scroll)
+        if vox_axis is None else vox_axis
+    )
     vax_slot = jnp.repeat(vax, K)
     pose = jnp.concatenate([r_cw.reshape(-1), t_cw.reshape(-1)]).reshape(1, 12)
 

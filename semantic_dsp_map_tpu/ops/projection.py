@@ -45,6 +45,7 @@ def generate_labeled_cloud(
     sky_instance_id: int = -1,
     inst_bbox_min: jax.Array | None = None,  # f32[65536?]-free: see below
     inst_bbox_max: jax.Array | None = None,
+    row_offset=0,
 ) -> LabeledCloud:
     """Vectorized generateLabeledPointCloud (pointcloud_tools.h:217-307).
 
@@ -61,8 +62,13 @@ def generate_labeled_cloud(
         (T = max_movable_instance_id+1-safe size chosen by caller) already
         including the margin.
     """
-    H, W = cfg.height, cfg.width
-    rows = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # Shapes derive from the depth raster: an image-row slab (+halo) under
+    # row sharding passes sliced inputs plus its global ``row_offset``.
+    H, W = depth.shape
+    rows = (
+        jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        + jnp.float32(row_offset)
+    )
     cols = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
     valid = (

@@ -205,9 +205,24 @@ def render_occupancy_xla(
     occupancy_threshold: float,
 ):
     """Returns (particles_after_gc, RenderResult)."""
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
     vox_axis_stamp = codecs.axis_stamps_per_voxel(cfg, state.scroll)
-    p = state.particles
+    return render_core_xla(
+        cfg, state.particles, state.voxel_stamp, vox_axis_stamp,
+        occupancy_threshold,
+    )
+
+
+def render_core_xla(
+    cfg: MapConfig,
+    p,
+    voxel_stamp: jax.Array,
+    vox_axis_stamp: jax.Array,
+    occupancy_threshold: float,
+):
+    """Size-agnostic render body: works on the full grid or a voxel slab
+    (sizes derive from the arrays; parallel/shard_step.py passes slabs)."""
+    K = cfg.slots_per_voxel
+    V = voxel_stamp.shape[0]
 
     chunk = min(V, RENDER_CHUNK_VOXELS)
     n_chunks = V // chunk
@@ -215,7 +230,7 @@ def render_occupancy_xla(
     if n_chunks == 1:
         occ, lab, trk, ws, nw, ns = _render_chunk(
             cfg, occupancy_threshold, p.weight, p.label, p.track,
-            p.status, p.stamp, vox_axis_stamp, state.voxel_stamp,
+            p.status, p.stamp, vox_axis_stamp, voxel_stamp,
         )
     else:
         rs = lambda a: a.reshape(n_chunks, -1)
@@ -226,7 +241,7 @@ def render_occupancy_xla(
         occ, lab, trk, ws, nw, ns = jax.lax.map(
             body,
             (rs(p.weight), rs(p.label), rs(p.track), rs(p.status),
-             rs(p.stamp), rs(vox_axis_stamp), rs(state.voxel_stamp)),
+             rs(p.stamp), rs(vox_axis_stamp), rs(voxel_stamp)),
         )
         occ, lab, trk, ws = (a.reshape(-1) for a in (occ, lab, trk, ws))
         nw, ns = nw.reshape(-1), ns.reshape(-1)

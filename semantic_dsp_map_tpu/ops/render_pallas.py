@@ -209,21 +209,35 @@ def render_occupancy_pallas(
     """Drop-in Pallas replacement for ops.render.render_occupancy.
 
     Returns (particles_after_gc, RenderResult)."""
-    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    vax = codecs.axis_stamps_per_voxel(cfg, state.scroll)    # i32[V]
+    return render_core_pallas(
+        cfg, state.particles, state.voxel_stamp, vax,
+        occupancy_threshold, interpret,
+    )
+
+
+def render_core_pallas(
+    cfg: MapConfig,
+    p,
+    voxel_stamp: jax.Array,
+    vax: jax.Array,
+    occupancy_threshold: float,
+    interpret: bool = False,
+):
+    """Size-agnostic kernel wrapper (full grid or a voxel slab)."""
+    K = cfg.slots_per_voxel
+    V = voxel_stamp.shape[0]
     N = V * K
     G = _VOX_PER_ROW
     L = K * G
     NB = N // L
     R = min(_ROWS, NB)
-
-    p = state.particles
-    vax = codecs.axis_stamps_per_voxel(cfg, state.scroll)    # i32[V]
     # XLA prepass: alive / voxel-valid masks (flat repeat, layout-safe).
     alive = (
         (p.status != STATUS_INVALID) & (p.stamp >= jnp.repeat(vax, K))
     ).astype(jnp.uint8)
     vvalid = (
-        (state.voxel_stamp != 0) & (state.voxel_stamp >= vax)
+        (voxel_stamp != 0) & (voxel_stamp >= vax)
     ).astype(jnp.uint8)
 
     resh = lambda a: a.reshape(NB, L)

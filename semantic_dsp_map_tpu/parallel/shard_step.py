@@ -1,0 +1,733 @@
+"""Explicit shard_map frame pipeline: the grid-sharding design of SURVEY
+section 2.3, built so every large domain actually divides across devices.
+
+Round-3's auto-SPMD step (parallel/sharding.py) replicated all image-space
+work — the [S, H, W] pixel table, both PHD stencils, the H x W birth
+candidate build — on every device, so weak scaling measured 1.3%.  This
+module partitions BOTH of the frame's big domains:
+
+  * the voxel grid, as z-slabs: the flat voxel index is z-major
+    (codecs.ring_to_voxel), so splitting every [V]/[V*K] array on dim 0
+    gives each device nz/D whole z-planes.  Particle state, visibility
+    masks, block working sets, insertion/resampling and the render
+    reduction are all voxel-local and never communicate.
+  * the image, as row-slabs: each device owns H/D pixel rows (plus a 2R-row
+    halo; R = the PHD stencil half-width) of the labeled point cloud, the
+    pixel table and both stencil passes.
+
+The voxel and image domains are coupled by per-particle/per-pixel routing
+over ICI (the distributed analog of the reference's shared-memory pixel
+pyramid, buffer.h:89-93):
+
+  observe   visible particle entries route voxel-slab -> pixel-row owner
+            (duplicated into neighbor halos), are ranked/stencilled there,
+            and the per-entry weight results route back — two
+            ``all_to_all`` exchanges of fixed-capacity buckets;
+  birth     newborn candidates build on the pixel-row owner (its cloud
+            slab) and route to the voxel-slab owner for slot-constrained
+            insertion — one ``all_to_all``;
+  move      rigid-moved particles re-insert across slab boundaries — one
+            ``all_to_all``;
+  objects   the object table is tiny and replicated; every device runs the
+            identical object-level update (no communication at all).
+
+Fixed bucket capacities keep every shape static; spatial skew beyond a
+bucket drops work for ONE frame and is surfaced in StepDiagnostics
+(entry/birth/move overflow counters) — never silent.  Per-device capacities
+scale as 1/D so per-device compiled work actually shrinks with the mesh
+(weak scaling), at the cost of overflow under extreme skew.
+
+Equality with the single-device step is asserted by
+tests/test_shard_step.py on the 8-virtual-device CPU mesh (noise paths off,
+as in the full-frame oracle).  Tie-breaking note: the pixel-table rank sort
+here uses (pix, camz, global entry id) — one more key than the
+single-device path — so entries with bitwise-equal camera depth in the same
+pixel may land in swapped table slots; all downstream sums are
+order-independent, so results only differ if such a tie straddles the
+rank-S cutoff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import FilterParams, KEYPOINTS_BBOX3D, MapConfig, PARTICLE_OCC_INIT_WEIGHT
+from ..labels import LabelRegistry
+from ..map import StepDiagnostics
+from ..objects import ObservedInstances, expire_objects, object_level_update
+from ..ops import codecs
+from ..ops.birth import Candidates, _insert_core
+from ..ops.blocks import (
+    block_layout,
+    gather_rows,
+    group_rank,
+    mask_to_block_mask,
+    row_valid,
+    scatter_rows,
+    select_blocks,
+)
+from ..ops.geometry import camera_matrices, project_to_image_xyz
+from ..ops.observe import refresh_empty_voxel_stamps
+from ..ops.phd import stencil_passes, table_from_entries
+from ..ops.projection import generate_labeled_cloud
+from ..ops.render import RenderResult, render_core_xla
+from ..state import MapState, Particles, STATUS_INVALID, STATUS_REGULAR_BORN, STATUS_UPDATED, particles_vk_sized
+from ..frontend import FrameInput
+
+AXIS = "grid"
+
+
+def _use_pallas(cfg: MapConfig) -> bool:
+    return (
+        cfg.use_pallas_observe
+        and jax.default_backend() == "tpu"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-capacity bucket routing (the all_to_all shuffle)
+# ---------------------------------------------------------------------------
+
+
+class Routed(NamedTuple):
+    fields: dict          # each [D*cap] received values
+    recv_valid: jax.Array  # bool[D*cap]
+    send_slot: jax.Array   # i32[N] send-buffer slot of each entry (-1 dropped)
+    overflow: jax.Array    # i32 entries beyond bucket capacity
+
+
+def _route(fields: dict, valid: jax.Array, dest: jax.Array, n_dev: int, cap: int) -> Routed:
+    """Bin entries into [n_dev, cap] buckets by ``dest`` and all_to_all them.
+
+    ``dest`` < 0 or valid == False drops the entry.  Deterministic: bucket
+    order is ascending original index (stable sort)."""
+    N = dest.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    dkey = jnp.where(valid & (dest >= 0) & (dest < n_dev), dest, n_dev)
+    s_dest, s_idx = jax.lax.sort((dkey, iota), num_keys=1)
+    rank_sorted = group_rank(s_dest)
+    ok_sorted = (s_dest < n_dev) & (rank_sorted < cap)
+    slot_sorted = jnp.where(ok_sorted, s_dest * cap + rank_sorted, -1)
+    # send_slot in original order (scatter by s_idx, unique)
+    send_slot = jnp.zeros(N, jnp.int32).at[s_idx].set(
+        slot_sorted, unique_indices=True
+    )
+    overflow = jnp.sum((dkey < n_dev).astype(jnp.int32)) - jnp.sum(
+        (slot_sorted >= 0).astype(jnp.int32)
+    )
+
+    scat_idx = jnp.where(send_slot >= 0, send_slot, n_dev * cap + iota)
+
+    def scat(vals, fill):
+        return (
+            jnp.full((n_dev * cap,), fill, vals.dtype)
+            .at[scat_idx]
+            .set(vals, mode="drop", unique_indices=True)
+        )
+
+    a2a = functools.partial(
+        jax.lax.all_to_all, axis_name=AXIS, split_axis=0, concat_axis=0,
+        tiled=True,
+    )
+    out = {k: a2a(scat(v, 0)) for k, v in fields.items()}
+    sent_valid = scat(
+        (send_slot >= 0).astype(jnp.int32), 0
+    )
+    recv_valid = a2a(sent_valid) != 0
+    return Routed(fields=out, recv_valid=recv_valid, send_slot=send_slot,
+                  overflow=overflow)
+
+
+def _route_back(result_fields: dict, send_slot: jax.Array):
+    """Return per-received-slot results to the senders; gather each original
+    entry's result at its send slot.  Returns dict of [N] arrays (zeros for
+    dropped entries)."""
+    a2a = functools.partial(
+        jax.lax.all_to_all, axis_name=AXIS, split_axis=0, concat_axis=0,
+        tiled=True,
+    )
+    idx = jnp.maximum(send_slot, 0)
+    out = {}
+    for k, v in result_fields.items():
+        ret = a2a(v)
+        got = ret[idx]
+        out[k] = jnp.where(send_slot >= 0, got, jnp.zeros_like(got))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The sharded step builder
+# ---------------------------------------------------------------------------
+
+
+def build_shard_map_step(
+    cfg: MapConfig,
+    params: FilterParams,
+    registry: LabelRegistry,
+    mesh: Mesh,
+):
+    """Returns the jitted sharded step: (MapState, FrameInput) ->
+    (MapState, RenderResult, StepDiagnostics).
+
+    State arrays are sharded on their voxel dimension (z-slabs); FrameInput
+    is replicated.  See the module docstring for the communication plan."""
+    D = int(mesh.devices.size)
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    if V % D or cfg.nz % D:
+        raise ValueError(
+            f"grid ({cfg.nz} z-planes, {V} voxels) not divisible by "
+            f"{D} devices"
+        )
+    V_loc, nz_loc = V // D, cfg.nz // D
+    H, W = cfg.height, cfg.width
+    S = cfg.phd_pixel_table_slots
+    R = cfg.neighbor_half
+    rpd = -(-H // D)                    # image rows per device
+    ext0 = 2 * R                        # halo rows above the owned slab
+    Hext = rpd + 4 * R                  # cloud/table rows incl. halos
+    Hpad = rpd * D + 4 * R              # padded full-image rows
+
+    bv, _nb_full, spb = block_layout(cfg)
+    nb_loc = V_loc // bv
+    # Per-device capacities ~ 1/D of the single-chip knobs (x2 headroom for
+    # skew; overflow is counted, never silent).
+    A_loc = max(min(cfg.max_active_blocks, nb_loc), min(64, nb_loc))
+    if D > 1:
+        A_loc = max(min(2 * cfg.max_active_blocks // D, nb_loc), min(64, nb_loc))
+    n_work = A_loc * spb
+    ECAP = max(512, (2 * n_work) // D)  # observe route bucket (src->dst)
+    nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
+    n_cand = rpd * W * nb_pp
+    BCAP = max(512, (2 * n_cand) // D)  # birth route bucket
+
+    A_move = max(min(cfg.max_moving_blocks, nb_loc), min(16, nb_loc))
+    n_move = A_move * spb
+    MCAP = max(512, -(-n_move // D))    # move route bucket
+
+    max_movable = registry.max_movable_instance_id
+    sky_instance = registry.static_label_to_instance.get(
+        "Sky", registry.static_label_to_instance.get("sky", -1)
+    )
+    use_zed2 = cfg.keypoint_mode == KEYPOINTS_BBOX3D
+    HW = H * W
+
+    # ------------------------------------------------------------------
+    def _cloud_slab(frame, r_wc, t_wc, dev):
+        """Labeled cloud on this device's extended row slab."""
+        r0 = dev * rpd
+        pad_rows = ((ext0, Hpad - H - ext0), (0, 0))
+        dpad = jnp.pad(frame.depth, pad_rows)
+        rpad = jnp.pad(frame.track_raster, pad_rows)
+        depth_slab = jax.lax.dynamic_slice(dpad, (r0, 0), (Hext, W))
+        raster_slab = jax.lax.dynamic_slice(rpad, (r0, 0), (Hext, W))
+        return generate_labeled_cloud(
+            cfg, params, depth_slab, raster_slab, frame.track_label_table,
+            r_wc, t_wc, max_movable,
+            sky_instance_id=sky_instance if use_zed2 else -1,
+            inst_bbox_min=frame.inst_bbox_min if use_zed2 else None,
+            inst_bbox_max=frame.inst_bbox_max if use_zed2 else None,
+            row_offset=r0 - ext0,
+        )
+
+    # ------------------------------------------------------------------
+    def _observe_sharded(dev, particles, scroll, vox_axis, voxel_stamp,
+                         cloud_ext, depth_full, r_cw, t_cw, gt):
+        """Distributed observe: local candidates -> route to pixel owners ->
+        rank/table/stencil -> results route home -> local write-back."""
+        flat = particles
+        pv = particles_vk_sized(particles, V_loc, K)
+
+        # -- local candidate masks (front) --
+        if _use_pallas(cfg):
+            from ..ops.observe_pallas import front_candidates
+
+            ha_u8, hc_u8 = front_candidates(
+                cfg, flat, scroll, r_cw, t_cw, vox_axis=vox_axis
+            )
+            has_alive = ha_u8 != 0
+            block_mask = jnp.any(hc_u8.reshape(nb_loc, bv) != 0, axis=1)
+        else:
+            alive_d = codecs.particle_alive(pv.status, pv.stamp, vox_axis)
+            _, _, _, proj_ok = project_to_image_xyz(
+                cfg, r_cw, t_cw, pv.px, pv.py, pv.pz
+            )
+            cand_d = proj_ok & alive_d
+            has_alive = jnp.any(alive_d, axis=1)
+            block_mask = mask_to_block_mask(cand_d, bv)
+
+        blocks = select_blocks(block_mask, A_loc)
+        rv = row_valid(blocks)
+        g = lambda f: gather_rows(f, blocks, bv)
+        bpx, bpy, bpz = g(pv.px), g(pv.py), g(pv.pz)
+        bw = g(pv.weight)
+        bst = g(pv.status)
+        bstamp = g(pv.stamp)
+        bforget = g(pv.forget)
+        btrack = g(pv.track)
+        baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+
+        not_invalid = bst != STATUS_INVALID
+        fresh = bstamp >= baxis
+        balive = not_invalid & fresh & rv[:, None]
+        # stale-slot prune on visit (operations.h:1374-1377)
+        bst = jnp.where(not_invalid & ~fresh & rv[:, None], STATUS_INVALID, bst)
+
+        brow, bcol, bcamz, bok = project_to_image_xyz(cfg, r_cw, t_cw, bpx, bpy, bpz)
+        bcand = (bok & balive).reshape(-1)
+        row_f = brow.reshape(-1)
+        pix = jnp.where(bcand, row_f * W + bcol.reshape(-1), HW)
+        camz = bcamz.reshape(-1)
+
+        # -- classification against the (replicated) depth raster --
+        depth_at = depth_full.reshape(-1)[jnp.minimum(pix, HW - 1)]
+        one_sigma = 1.0 + cfg.depth_error_stddev_at_one_meter
+        real = bcand
+        far_free = real & (depth_at > cfg.depth_range_max)
+        occluded = real & ~far_free & (camz > depth_at * one_sigma)
+        visible = real & ~far_free & ~occluded
+
+        meta = (
+            (btrack.astype(jnp.int32) << 8)
+            | (bforget.astype(jnp.int32) & 0xFF)
+        ).reshape(-1)
+        gid = dev * n_work + jax.lax.broadcasted_iota(
+            jnp.int32, (n_work, 1), 0
+        ).squeeze(-1)
+
+        # -- route visible entries to pixel-row owners (+halo copies) --
+        # An entry at image row r is needed by every device whose EXTENDED
+        # range [d*rpd - 2R, d*rpd + rpd + 2R) contains r: the owner plus up
+        # to n_side neighbors each way (n_side > 1 when the halo spans more
+        # than one row slab, e.g. tiny test grids).
+        owner = jnp.minimum(row_f // rpd, D - 1)
+        n_side = min(-(-ext0 // rpd), D - 1)
+        dests, valids = [owner], [visible]
+        for q in range(1, n_side + 1):
+            d_up = owner - q
+            valids.append(visible & (d_up >= 0) & (row_f < d_up * rpd + rpd + ext0))
+            dests.append(d_up)
+            d_dn = owner + q
+            valids.append(visible & (d_dn <= D - 1) & (row_f >= d_dn * rpd - ext0))
+            dests.append(d_dn)
+        n_copies = len(dests)
+
+        tile_n = lambda a: jnp.concatenate([a] * n_copies)
+        fields = {
+            "pix": pix, "camz": camz,
+            "px": bpx.reshape(-1), "py": bpy.reshape(-1),
+            "pz": bpz.reshape(-1), "w": bw.reshape(-1),
+            "meta": meta, "gid": gid,
+        }
+        fieldsn = {k: tile_n(v) for k, v in fields.items()}
+        routed = _route(
+            fieldsn, jnp.concatenate(valids), jnp.concatenate(dests), D, ECAP
+        )
+
+        # -- local rank + table + stencil on the extended row slab --
+        M = D * ECAP
+        r0 = dev * rpd
+        pix_r = jnp.where(routed.recv_valid, routed.fields["pix"], HW)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
+        (pix_s, _cz, _gid_s, px_s, py_s, pz_s, w_s, meta_s, slot_s) = jax.lax.sort(
+            (pix_r, routed.fields["camz"], routed.fields["gid"],
+             routed.fields["px"], routed.fields["py"], routed.fields["pz"],
+             routed.fields["w"], routed.fields["meta"], iota_m),
+            num_keys=3,
+        )
+        real_s = pix_s < HW
+        rank_s = group_rank(pix_s)
+        keep_s = real_s & (rank_s < S)
+        # table-local pixel ids (rows relative to the extended slab)
+        pix_loc = pix_s - (r0 - ext0) * W
+        pix_loc = jnp.where(keep_s, pix_loc, Hext * W)
+        table = table_from_entries(
+            cfg, pix_loc, rank_s, keep_s,
+            px_s, py_s, pz_s, w_s, meta_s >> 8, meta_s & 0xFF,
+            n_rows=Hext,
+        )
+        ck_kappa, new_w_t, new_f_t = stencil_passes(cfg, params, table, cloud_ext)
+
+        dest_t = jnp.where(keep_s, jnp.minimum(rank_s, S - 1) * (Hext * W) + pix_loc, 0)
+        nw_e = new_w_t.reshape(-1)[dest_t]
+        nf_e = new_f_t.reshape(-1)[dest_t]
+
+        res_w = jnp.zeros(M, jnp.float32).at[slot_s].set(
+            jnp.where(keep_s, nw_e, 0.0), unique_indices=True
+        )
+        res_m = jnp.zeros(M, jnp.int32).at[slot_s].set(
+            jnp.where(keep_s, (nf_e & 0xFF) | (1 << 8), 0), unique_indices=True
+        )
+        back = _route_back({"w": res_w, "m": res_m}, routed.send_slot[:n_work])
+
+        # -- merge results into the working set (home side) --
+        upd = (back["m"] >> 8) & 1
+        w_upd = jnp.where(
+            upd == 1, back["w"],
+            jnp.where(far_free, PARTICLE_OCC_INIT_WEIGHT, bw.reshape(-1)),
+        )
+        touched = (upd == 1) | far_free
+        observed = visible | far_free
+
+        shp = (A_loc, spb)
+        bw = jnp.where(touched.reshape(shp), w_upd.reshape(shp), bw)
+        bst = jnp.where(upd.reshape(shp) == 1, STATUS_UPDATED, bst)
+        bstamp = jnp.where(upd.reshape(shp) == 1, gt, bstamp)
+        bforget = jnp.where(
+            upd.reshape(shp) == 1, (back["m"] & 0xFF).reshape(shp), bforget
+        )
+
+        out_particles = flat.replace(
+            weight=scatter_rows(pv.weight, blocks, bv, bw).reshape(-1),
+            status=scatter_rows(pv.status, blocks, bv, bst).reshape(-1),
+            stamp=scatter_rows(pv.stamp, blocks, bv, bstamp).reshape(-1),
+            forget=scatter_rows(pv.forget, blocks, bv, bforget).reshape(-1),
+        )
+
+        obs_vox = jnp.any(observed.reshape(A_loc, bv, K), axis=2)
+        bvst = gather_rows(voxel_stamp, blocks, bv)
+        bvst = jnp.where(obs_vox & rv[:, None], gt, bvst)
+        voxel_stamp = scatter_rows(voxel_stamp, blocks, bv, bvst)
+
+        voxel_stamp, corner_overflow = refresh_empty_voxel_stamps(
+            cfg, scroll, voxel_stamp, has_alive, depth_full, r_cw, t_cw, gt,
+            vox_base=dev * V_loc,
+        )
+
+        diag = dict(
+            visible_count=jnp.sum(visible.astype(jnp.int32)),
+            block_overflow=blocks.overflow,
+            entry_overflow=routed.overflow,
+            table_dropped=jnp.sum((real_s & ~keep_s).astype(jnp.int32)),
+            corner_overflow=corner_overflow,
+        )
+        return out_particles, voxel_stamp, diag
+
+    # ------------------------------------------------------------------
+    def _birth_sharded(dev, particles, scroll, vox_axis, cloud_ext, gt, rng):
+        """Newborn candidates from the owned row slab, routed to voxel-slab
+        owners, inserted with resampling."""
+        # owned rows of the extended cloud
+        own = lambda a: jax.lax.dynamic_slice_in_dim(a, ext0, rpd, axis=0)
+        pos = own(cloud_ext.pos).reshape(-1, 3)
+        valid = own(cloud_ext.valid).reshape(-1)
+        label = own(cloud_ext.label).reshape(-1)
+        track = own(cloud_ext.track).reshape(-1)
+        sigma = own(cloud_ext.sigma).reshape(-1)
+
+        r0 = dev * rpd
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (rpd, W), 0) + r0
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rpd, W), 1)
+        valid = valid & (rows < H).reshape(-1)
+        phase = (rows % 3) * 3 + cols % 3
+        pri = ((phase * H + rows) * W + cols).reshape(-1)
+
+        if nb_pp > 1:
+            rep = lambda a: jnp.repeat(a, nb_pp, axis=0)
+            pos, valid, label, track, sigma = (
+                rep(pos), rep(valid), rep(label), rep(track), rep(sigma)
+            )
+            pri = rep(pri) * nb_pp + jnp.tile(
+                jnp.arange(nb_pp, dtype=jnp.int32), rpd * W
+            )
+            noise = (
+                jax.random.normal(jax.random.fold_in(rng, dev),
+                                  pos.shape, jnp.float32)
+                * sigma[:, None]
+            )
+            pos = pos + noise
+        elif params.if_consider_depth_noise:
+            pri = pri * nb_pp
+
+        vox_g, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, pos)
+        valid = valid & in_map
+        dest = jnp.where(valid, vox_g // V_loc, -1)
+        meta = (label.astype(jnp.int32) << 16) | (track.astype(jnp.int32) & 0xFFFF)
+
+        routed = _route(
+            {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2],
+             "pri": pri, "meta": meta, "vox": vox_g},
+            valid, dest, D, BCAP,
+        )
+        M = D * BCAP
+        f = routed.fields
+        rvalid = routed.recv_valid
+        cand = Candidates(
+            pos=jnp.stack([f["x"], f["y"], f["z"]], axis=-1),
+            weight=jnp.full(M, PARTICLE_OCC_INIT_WEIGHT, jnp.float32),
+            label=(f["meta"] >> 16) & 0xFF,
+            track=f["meta"] & 0xFFFF,
+            status=jnp.full(M, STATUS_REGULAR_BORN, jnp.int32),
+            stamp=jnp.full(M, 0, jnp.int32),
+            forget=jnp.zeros(M, jnp.int32),
+            priority=jnp.where(rvalid, f["pri"], jnp.int32(1 << 30)),
+            valid=rvalid,
+        )
+        vox_local = jnp.where(rvalid, f["vox"] - dev * V_loc, V_loc)
+        res = _insert_core(
+            cfg, particles, scroll, cand, resample_targets=True,
+            need_src=False,
+            uniform_weight=PARTICLE_OCC_INIT_WEIGHT, uniform_stamp=gt,
+            vox=vox_local, valid=rvalid, vox_axis=vox_axis,
+        )
+        return res.particles, res.accepted_count, res.block_overflow, routed.overflow
+
+    # ------------------------------------------------------------------
+    def _move_sharded(dev, particles, scroll, vox_axis, objects, gt, rng):
+        """Rigid moves + floating cleanup, with cross-slab re-insertion."""
+        flat = particles
+        pv = particles_vk_sized(particles, V_loc, K)
+
+        mv_obj = (
+            objects.valid & objects.has_moved_record & objects.moving
+            & objects.has_tmatrix
+        )
+        if params.if_use_template_matching:
+            mv_obj = mv_obj & ~objects.to_match_previous
+
+        alive = codecs.particle_alive(pv.status, pv.stamp, vox_axis)
+        track = pv.track
+        movable_p = alive & (track <= max_movable)
+        blocks = select_blocks(mask_to_block_mask(movable_p, bv), A_move)
+        rv = row_valid(blocks)
+        g = lambda f: gather_rows(f, blocks, bv)
+        btrk = g(track)
+        bst = g(pv.status)
+        bstamp = g(pv.stamp)
+        baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+        balive = (bst != STATUS_INVALID) & (bstamp >= baxis)
+        bmovable = balive & (btrk <= max_movable) & rv[:, None]
+
+        O = objects.valid.shape[0]
+        CH = 8
+        n_chunks = (O + CH - 1) // CH
+        pad = n_chunks * CH - O
+        ids_p = jnp.concatenate([objects.track_id, jnp.full(pad, -2, jnp.int32)])
+        own_p = jnp.concatenate([objects.valid, jnp.zeros(pad, bool)])
+        mv_p = jnp.concatenate([mv_obj, jnp.zeros(pad, bool)])
+
+        def chunk_body(i, carry):
+            owned, moving = carry
+            ids = jax.lax.dynamic_slice(ids_p, (i * CH,), (CH,))
+            ow = jax.lax.dynamic_slice(own_p, (i * CH,), (CH,))
+            mv = jax.lax.dynamic_slice(mv_p, (i * CH,), (CH,))
+            eq = btrk[:, :, None] == ids
+            owned = owned | jnp.any(eq & ow, axis=-1)
+            moving = moving | jnp.any(eq & mv, axis=-1)
+            return owned, moving
+
+        zero = jnp.zeros(btrk.shape, bool)
+        owned, moving_mask = jax.lax.fori_loop(0, n_chunks, chunk_body, (zero, zero))
+
+        floating = bmovable & ~owned
+        bst_clean = jnp.where(floating, STATUS_INVALID, bst)
+        flat = flat.replace(
+            status=scatter_rows(pv.status, blocks, bv, bst_clean).reshape(-1)
+        )
+        bmove = bmovable & moving_mask & ~floating
+
+        # NOTE: unlike the single-device path this branch always executes
+        # (lax.cond would still trace both sides under shard_map, and the
+        # routing collectives must run on every device every frame).
+        pvb = particles_vk_sized(flat, V_loc, K)
+        bpx, bpy, bpz = g(pvb.px), g(pvb.py), g(pvb.pz)
+        bw2, blab = g(pvb.weight), g(pvb.forget)
+        blabel = g(pvb.label)
+
+        def obj_body(o, pos):
+            nx, ny, nz = pos
+            T = objects.tmatrix[o]
+            match = bmove & (btrk == objects.track_id[o]) & mv_obj[o]
+            tx = T[0, 0] * bpx + T[0, 1] * bpy + T[0, 2] * bpz + T[0, 3]
+            ty = T[1, 0] * bpx + T[1, 1] * bpy + T[1, 2] * bpz + T[1, 3]
+            tz = T[2, 0] * bpx + T[2, 1] * bpy + T[2, 2] * bpz + T[2, 3]
+            return (
+                jnp.where(match, tx, nx),
+                jnp.where(match, ty, ny),
+                jnp.where(match, tz, nz),
+            )
+
+        nx, ny, nz = jax.lax.fori_loop(0, O, obj_body, (bpx, bpy, bpz))
+        if params.prediction_stddev > 0:
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, dev), (3,) + bpx.shape, jnp.float32
+            ) * params.prediction_stddev
+            nx, ny, nz = nx + noise[0], ny + noise[1], nz + noise[2]
+
+        bst_del = jnp.where(bmove, STATUS_INVALID, bst_clean)
+        flat = flat.replace(
+            status=scatter_rows(pvb.status, blocks, bv, bst_del).reshape(-1)
+        )
+
+        meta = (
+            (jnp.clip(g(pvb.forget).astype(jnp.int32), 0, 7) << 27)
+            | (jnp.clip(bst_clean.astype(jnp.int32), 0, 7) << 24)
+            | ((blabel.astype(jnp.int32) & 0xFF) << 16)
+            | (btrk.astype(jnp.int32) & 0xFFFF)
+        ).reshape(-1)
+
+        pos = jnp.stack([nx.reshape(-1), ny.reshape(-1), nz.reshape(-1)], axis=-1)
+        vox_g, _, _, _, in_map = codecs.global_pos_to_voxel(cfg, scroll, pos)
+        valid = bmove.reshape(-1) & in_map
+        dest = jnp.where(valid, vox_g // V_loc, -1)
+        pri = dev * n_move + jax.lax.broadcasted_iota(
+            jnp.int32, (n_move, 1), 0
+        ).squeeze(-1)
+
+        routed = _route(
+            {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2],
+             "w": bw2.reshape(-1), "stamp": bstamp.reshape(-1),
+             "meta": meta, "vox": vox_g, "pri": pri},
+            valid, dest, D, MCAP,
+        )
+        M = D * MCAP
+        f = routed.fields
+        rvalid = routed.recv_valid
+        cand = Candidates(
+            pos=jnp.stack([f["x"], f["y"], f["z"]], axis=-1),
+            weight=f["w"],
+            label=(f["meta"] >> 16) & 0xFF,
+            track=f["meta"] & 0xFFFF,
+            status=(f["meta"] >> 24) & 0x7,
+            stamp=f["stamp"],
+            forget=(f["meta"] >> 27) & 0x7,
+            priority=jnp.where(rvalid, f["pri"], jnp.int32(1 << 30)),
+            valid=rvalid,
+        )
+        vox_local = jnp.where(rvalid, f["vox"] - dev * V_loc, V_loc)
+        res = _insert_core(
+            cfg, flat, scroll, cand, resample_targets=False, need_src=False,
+            vox=vox_local, valid=rvalid, vox_axis=vox_axis,
+        )
+        moved = res.accepted_count
+        return res.particles, moved, blocks.overflow + routed.overflow
+
+    # ------------------------------------------------------------------
+    def body(state: MapState, frame: FrameInput):
+        dev = jax.lax.axis_index(AXIS)
+        gt = state.global_time + 1
+        rng, k_obj, k_move, k_birth = jax.random.split(state.rng, 4)
+        r_wc, t_wc, r_cw, t_cw = camera_matrices(frame.cam_pos, frame.cam_quat)
+
+        objects = state.objects
+        if cfg.consider_instance:
+            obs = ObservedInstances(
+                valid=frame.inst_valid,
+                track=frame.inst_track,
+                label=frame.inst_label,
+                kpts_curr=frame.kpts_curr,
+                kpts_prev=frame.kpts_prev,
+                kpts_count=frame.kpts_count,
+            )
+            objects = object_level_update(
+                cfg, params, objects, obs, frame.cam_pos, r_cw, t_cw,
+                frame.time, state.prev_frame_time, gt, k_obj,
+            )
+
+        cloud_ext = _cloud_slab(frame, r_wc, t_wc, dev)
+
+        scroll = codecs.update_ego_center(cfg, state.scroll, frame.cam_pos, gt)
+        objects, _expired = expire_objects(params, objects, gt)
+        vox_axis = codecs.axis_stamps_per_voxel_slab(
+            cfg, scroll, dev * nz_loc, nz_loc
+        )
+
+        particles, moved, move_overflow = _move_sharded(
+            dev, state.particles, scroll, vox_axis, objects, gt, k_move
+        )
+
+        particles, voxel_stamp, odiag = _observe_sharded(
+            dev, particles, scroll, vox_axis, state.voxel_stamp,
+            cloud_ext, frame.depth, r_cw, t_cw, gt,
+        )
+
+        particles, born, birth_overflow, route_overflow = _birth_sharded(
+            dev, particles, scroll, vox_axis, cloud_ext, gt, k_birth
+        )
+
+        if _use_pallas(cfg) and cfg.use_pallas_render:
+            from ..ops.render_pallas import render_core_pallas
+
+            particles, result = render_core_pallas(
+                cfg, particles, voxel_stamp, vox_axis,
+                params.occupancy_threshold,
+            )
+        else:
+            particles, result = render_core_xla(
+                cfg, particles, voxel_stamp, vox_axis,
+                params.occupancy_threshold,
+            )
+
+        new_state = state.replace(
+            particles=particles,
+            voxel_stamp=voxel_stamp,
+            scroll=scroll,
+            objects=objects,
+            global_time=gt,
+            prev_frame_time=frame.time,
+            rng=rng,
+        )
+        psum = lambda x: jax.lax.psum(x, AXIS)
+        diag = StepDiagnostics(
+            visible_count=psum(odiag["visible_count"]),
+            born_count=psum(born),
+            moved_count=psum(moved),
+            block_overflow=psum(odiag["block_overflow"]),
+            entry_overflow=psum(odiag["entry_overflow"]),
+            table_dropped=psum(odiag["table_dropped"]),
+            corner_overflow=psum(odiag["corner_overflow"]),
+            move_overflow=psum(move_overflow),
+            birth_overflow=psum(birth_overflow + route_overflow),
+        )
+        return new_state, result, diag
+
+    # ------------------------------------------------------------------
+    # shard_map specs: voxel-dim arrays split, everything else replicated.
+    def _state_spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        vk = V * K
+        for d, size in enumerate(shape):
+            if size in (V, vk):
+                spec = [None] * len(shape)
+                spec[d] = AXIS
+                return P(*spec)
+        return P()
+
+    from ..state import init_map_state
+
+    example = jax.eval_shape(lambda: init_map_state(cfg))
+    state_specs = jax.tree_util.tree_map(_state_spec, example)
+    # scroll/object state stays replicated: _state_spec only matches
+    # voxel-sized dims (V or V*K).
+    frame_specs = jax.tree_util.tree_map(lambda _: P(), _frame_struct(cfg))
+
+    out_state_specs = state_specs
+    render_specs = RenderResult(occ=P(AXIS), label=P(AXIS), track=P(AXIS),
+                                weight_sum=P(AXIS))
+    diag_specs = StepDiagnostics(*([P()] * len(StepDiagnostics._fields)))
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_specs, frame_specs),
+        out_specs=(out_state_specs, render_specs, diag_specs),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=0)
+
+
+def _frame_struct(cfg: MapConfig):
+    from .sharding import _example_frame_struct
+
+    return _example_frame_struct(cfg)
