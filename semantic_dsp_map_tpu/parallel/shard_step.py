@@ -205,14 +205,14 @@ def build_shard_map_step(
     if D > 1:
         A_loc = max(min(2 * cfg.max_active_blocks // D, nb_loc), min(64, nb_loc))
     n_work = A_loc * spb
-    ECAP = max(512, (2 * n_work) // D)  # observe route bucket (src->dst)
+    ECAP = max(64, (2 * n_work) // D)   # observe route bucket (src->dst)
     nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
     n_cand = rpd * W * nb_pp
-    BCAP = max(512, (2 * n_cand) // D)  # birth route bucket
+    BCAP = max(64, (2 * n_cand) // D)   # birth route bucket
 
     A_move = max(min(cfg.max_moving_blocks, nb_loc), min(16, nb_loc))
     n_move = A_move * spb
-    MCAP = max(512, -(-n_move // D))    # move route bucket
+    MCAP = max(64, -(-n_move // D))     # move route bucket
 
     max_movable = registry.max_movable_instance_id
     sky_instance = registry.static_label_to_instance.get(
