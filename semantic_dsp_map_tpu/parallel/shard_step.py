@@ -106,11 +106,42 @@ class Routed(NamedTuple):
     overflow: jax.Array    # i32 entries beyond bucket capacity
 
 
+def _pack_i32(fields: dict, names):
+    """Stack 32-bit fields into one [N, F] i32 matrix (f32 via bitcast)."""
+    cols = []
+    for k in names:
+        v = fields[k]
+        if v.dtype == jnp.float32:
+            cols.append(jax.lax.bitcast_convert_type(v, jnp.int32))
+        else:
+            cols.append(v.astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_i32(mat, names, dtypes):
+    out = {}
+    for j, k in enumerate(names):
+        v = mat[:, j]
+        if dtypes[k] == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        out[k] = v
+    return out
+
+
+def _a2a(x):
+    return jax.lax.all_to_all(
+        x, axis_name=AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+
+
 def _route(fields: dict, valid: jax.Array, dest: jax.Array, n_dev: int, cap: int) -> Routed:
     """Bin entries into [n_dev, cap] buckets by ``dest`` and all_to_all them.
 
     ``dest`` < 0 or valid == False drops the entry.  Deterministic: bucket
-    order is ascending original index (stable sort)."""
+    order is ascending original index (stable sort).  All fields ride ONE
+    collective (packed to an i32 matrix, f32 via bitcast) and one row
+    scatter — collective count is latency-critical on both ICI and the
+    virtual-CPU mesh."""
     N = dest.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
     dkey = jnp.where(valid & (dest >= 0) & (dest < n_dev), dest, n_dev)
@@ -128,22 +159,18 @@ def _route(fields: dict, valid: jax.Array, dest: jax.Array, n_dev: int, cap: int
 
     scat_idx = jnp.where(send_slot >= 0, send_slot, n_dev * cap + iota)
 
-    def scat(vals, fill):
-        return (
-            jnp.full((n_dev * cap,), fill, vals.dtype)
-            .at[scat_idx]
-            .set(vals, mode="drop", unique_indices=True)
-        )
-
-    a2a = functools.partial(
-        jax.lax.all_to_all, axis_name=AXIS, split_axis=0, concat_axis=0,
-        tiled=True,
+    names = sorted(fields)
+    dtypes = {k: fields[k].dtype for k in names}
+    mat = _pack_i32(fields, names)
+    mat = jnp.concatenate([mat, (send_slot >= 0).astype(jnp.int32)[:, None]], 1)
+    buf = (
+        jnp.zeros((n_dev * cap, len(names) + 1), jnp.int32)
+        .at[scat_idx]
+        .set(mat, mode="drop", unique_indices=True)
     )
-    out = {k: a2a(scat(v, 0)) for k, v in fields.items()}
-    sent_valid = scat(
-        (send_slot >= 0).astype(jnp.int32), 0
-    )
-    recv_valid = a2a(sent_valid) != 0
+    recv = _a2a(buf)
+    out = _unpack_i32(recv, names, dtypes)
+    recv_valid = recv[:, -1] != 0
     return Routed(fields=out, recv_valid=recv_valid, send_slot=send_slot,
                   overflow=overflow)
 
@@ -151,18 +178,16 @@ def _route(fields: dict, valid: jax.Array, dest: jax.Array, n_dev: int, cap: int
 def _route_back(result_fields: dict, send_slot: jax.Array):
     """Return per-received-slot results to the senders; gather each original
     entry's result at its send slot.  Returns dict of [N] arrays (zeros for
-    dropped entries)."""
-    a2a = functools.partial(
-        jax.lax.all_to_all, axis_name=AXIS, split_axis=0, concat_axis=0,
-        tiled=True,
-    )
+    dropped entries).  One collective total."""
+    names = sorted(result_fields)
+    dtypes = {k: result_fields[k].dtype for k in names}
+    ret = _a2a(_pack_i32(result_fields, names))
     idx = jnp.maximum(send_slot, 0)
-    out = {}
-    for k, v in result_fields.items():
-        ret = a2a(v)
-        got = ret[idx]
-        out[k] = jnp.where(send_slot >= 0, got, jnp.zeros_like(got))
-    return out
+    got = _unpack_i32(ret[idx], names, dtypes)
+    return {
+        k: jnp.where(send_slot >= 0, v, jnp.zeros_like(v))
+        for k, v in got.items()
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -205,14 +230,21 @@ def build_shard_map_step(
     if D > 1:
         A_loc = max(min(2 * cfg.max_active_blocks // D, nb_loc), min(64, nb_loc))
     n_work = A_loc * spb
-    ECAP = max(64, (2 * n_work) // D)   # observe route bucket (src->dst)
+    # Route bucket capacity per (src, dst) pair: FULL capacity when the
+    # route volume is small (tests / small grids: overflow impossible),
+    # 2/D of it when large (per-device work scales down with the mesh;
+    # spatial skew beyond 2x uniform drops work for one frame, counted).
+    def _cap(total, full_floor):
+        return max(min(total, full_floor), (2 * total) // D)
+
+    ECAP = _cap(n_work, 1024)           # observe route bucket (src->dst)
     nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
     n_cand = rpd * W * nb_pp
-    BCAP = max(64, (2 * n_cand) // D)   # birth route bucket
+    BCAP = _cap(n_cand, 512)            # birth route bucket
 
     A_move = max(min(cfg.max_moving_blocks, nb_loc), min(16, nb_loc))
     n_move = A_move * spb
-    MCAP = max(64, -(-n_move // D))     # move route bucket
+    MCAP = _cap(n_move, 1024)           # move route bucket
 
     max_movable = registry.max_movable_instance_id
     sky_instance = registry.static_label_to_instance.get(
@@ -678,18 +710,17 @@ def build_shard_map_step(
             prev_frame_time=frame.time,
             rng=rng,
         )
-        psum = lambda x: jax.lax.psum(x, AXIS)
-        diag = StepDiagnostics(
-            visible_count=psum(odiag["visible_count"]),
-            born_count=psum(born),
-            moved_count=psum(moved),
-            block_overflow=psum(odiag["block_overflow"]),
-            entry_overflow=psum(odiag["entry_overflow"]),
-            table_dropped=psum(odiag["table_dropped"]),
-            corner_overflow=psum(odiag["corner_overflow"]),
-            move_overflow=psum(move_overflow),
-            birth_overflow=psum(birth_overflow + route_overflow),
+        # one fused psum for all nine counters (collective count matters)
+        stacked = jax.lax.psum(
+            jnp.stack([
+                odiag["visible_count"], born, moved,
+                odiag["block_overflow"], odiag["entry_overflow"],
+                odiag["table_dropped"], odiag["corner_overflow"],
+                move_overflow, birth_overflow + route_overflow,
+            ]),
+            AXIS,
         )
+        diag = StepDiagnostics(*[stacked[i] for i in range(9)])
         return new_state, result, diag
 
     # ------------------------------------------------------------------

@@ -228,11 +228,30 @@ class FullOracle:
             & (depth >= cfg.depth_range_min)
             & (depth <= cfg.depth_range_max)
         )
+        track = np.asarray(f.track_raster, np.int32)
+        zed2 = self._zed2()
+        if zed2:
+            # sky culling (pointcloud_tools.h:234-241)
+            sky = self.registry.static_label_to_instance.get(
+                "Sky", self.registry.static_label_to_instance.get("sky", -1)
+            )
+            if sky >= 0:
+                valid &= track != sky
         x_cam = (cols - F32(cfg.cx)) / F32(cfg.fx) * depth
         y_cam = (rows - F32(cfg.cy)) / F32(cfg.fy) * depth
         cam = np.stack([x_cam, y_cam, depth], -1)
         pos = cam @ r_wc.T.astype(F32) + t_wc
-        track = np.asarray(f.track_raster, np.int32)
+        if zed2:
+            # per-instance 3D-bbox gating with margin: out-of-box movable
+            # pixels demote to Background (pointcloud_tools.h:254-273)
+            from semantic_dsp_map_tpu.labels import BACKGROUND_INSTANCE_ID
+
+            movable = track <= self.registry.max_movable_instance_id
+            tid = np.clip(track, 0, 65535)
+            bmin = np.asarray(f.inst_bbox_min)[tid]
+            bmax = np.asarray(f.inst_bbox_max)[tid]
+            outside = np.any((pos < bmin) | (pos > bmax), axis=-1)
+            track = np.where(movable & outside, BACKGROUND_INSTANCE_ID, track)
         label = np.asarray(f.track_label_table)[np.clip(track, 0, 65535)]
         if params.if_consider_depth_noise:
             sigma = (
@@ -245,9 +264,29 @@ class FullOracle:
         return dict(pos=pos.astype(F32), sigma=sigma.astype(F32), label=label,
                     track=track, valid=valid)
 
-    # ---------------- object layer (superpoint mode) ----------------
+    def _zed2(self):
+        from semantic_dsp_map_tpu.config import KEYPOINTS_BBOX3D
+
+        return self.cfg.keypoint_mode == KEYPOINTS_BBOX3D
+
+    def _out_of_fov(self, r_cw, t_cw, p, margin=5):
+        """isPointOutOfFOV (semantic_dsp_map.h:1421-1442)."""
+        cfg = self.cfg
+        cam = r_cw @ np.asarray(p, F32) + t_cw
+        z = cam[2]
+        if z <= 0:
+            return True
+        u = F32(cfg.fx) * cam[0] / F32(z) + F32(cfg.cx)
+        v = F32(cfg.fy) * cam[1] / F32(z) + F32(cfg.cy)
+        return (
+            u < margin or u >= cfg.width - margin
+            or v < margin or v >= cfg.height - margin
+        )
+
+    # ---------------- object layer ----------------
     def object_update(self, f, cam_pos, r_cw, t_cw, time_now, gt):
         cfg, params = self.cfg, self.params
+        zed2 = self._zed2()
         I = f.inst_valid.shape[0]
         for i in range(I):
             if not f.inst_valid[i] or f.inst_label[i] < 0:
@@ -271,22 +310,70 @@ class FullOracle:
                     T=np.eye(4, dtype=F32), has_T=False,
                     ref=np.zeros(3, F32), window=[], velocity=np.zeros(3, F32),
                     vel_valid=False, to_match_prev=False,
+                    # ZED2 keypoint caches (semantic_dsp_map.h:267-271)
+                    last_kpts=np.asarray(f.kpts_curr[i][:4], F32),
+                    last_t=float(time_now), has_last=True,
+                    key_kpts=np.asarray(f.kpts_curr[i][:4], F32),
+                    key_t=float(time_now),
                 )
                 continue
-            if nk < 5:
+            if nk < (4 if zed2 else 5):
                 continue
-            # exact rigid keypoints -> Kabsch over all points; always valid
-            T2 = kabsch(kp.astype(np.float64), kc.astype(np.float64))
-            ref = kp[0]
-            disp = T2[:3, :3] @ ref + T2[:3, 3] - ref
-            evid = np.linalg.norm(disp) > params.bayesian_movement_distance_threshold
-            praw = obj["prob"] + (
-                params.bayesian_movement_increment
+            if zed2:
+                # bbox3d path (semantic_dsp_map.h:408-481): transform from
+                # the STORED last-frame corners; movement evidence is key-
+                # corner drift vs max(threshold, bbox width); only the LAST
+                # keypoint's FOV verdict matters; key corners refresh on a
+                # 2 s timer.
+                last_k = obj["last_kpts"]
+                key_k = obj["key_kpts"]
+                has_last = obj["has_last"]
+                out_fov = self._out_of_fov(r_cw, t_cw, kc[nk - 1])
+                T2 = kabsch(last_k.astype(np.float64), kc[:4].astype(np.float64))
+                time_diff = float(time_now) - obj["last_t"]
+                width = float(np.linalg.norm(kc[1] - kc[0]))
+                key_thr = max(
+                    params.bayesian_movement_distance_threshold, width
+                )
+                drift = float(np.linalg.norm(kc[0] - key_k[0]))
+                evid = drift > key_thr
+                success = (not out_fov) and has_last
+                ref = last_k[0].copy()
+                dt_window = time_diff
+                # cache maintenance (store regardless of success)
+                if not out_fov:
+                    refresh_key = has_last and (
+                        float(time_now) - obj["key_t"] > 2.0
+                    )
+                    if (not has_last) or refresh_key:
+                        obj["key_kpts"] = kc[:4].copy()
+                        obj["key_t"] = float(time_now)
+                    obj["last_kpts"] = kc[:4].copy()
+                    obj["last_t"] = float(time_now)
+                    obj["has_last"] = True
+                if not success:
+                    continue
+            else:
+                # superpoint: exact rigid keypoints -> Kabsch over all
+                # points; always valid
+                T2 = kabsch(kp.astype(np.float64), kc.astype(np.float64))
+                ref = kp[0]
+                disp = T2[:3, :3] @ ref + T2[:3, 3] - ref
+                evid = (
+                    np.linalg.norm(disp)
+                    > params.bayesian_movement_distance_threshold
+                )
+                dt_window = DEFAULT_TIME_INTERVAL
+            # f32 accumulation: moved_probability is a C++ float in the
+            # reference (object_layer.h:331) and f32 in production; f64 here
+            # flips the strict '>' threshold compare at exact boundaries.
+            praw = F32(obj["prob"]) + (
+                F32(params.bayesian_movement_increment)
                 if evid
-                else -params.bayesian_movement_decrement
+                else F32(-params.bayesian_movement_decrement)
             )
-            moving = praw > params.bayesian_movement_probability_threshold
-            obj["prob"] = min(max(praw, 0.0), 1.0)
+            moving = praw > F32(params.bayesian_movement_probability_threshold)
+            obj["prob"] = F32(min(max(praw, F32(0.0)), F32(1.0)))
             obj["moving"] = bool(moving)
             obj["has_moved_record"] = True
             obj["label"] = int(f.inst_label[i])
@@ -297,7 +384,7 @@ class FullOracle:
             obj["to_match_prev"] = False
             obj["ref"] = ref
             if moving:
-                self._window_push(obj, T2, DEFAULT_TIME_INTERVAL, ref, gt)
+                self._window_push(obj, T2, dt_window, ref, gt)
         # unobserved moving objects coast
         observed = {int(f.inst_track[i]) for i in range(I)
                     if f.inst_valid[i] and f.inst_label[i] >= 0}
