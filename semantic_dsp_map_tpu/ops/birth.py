@@ -473,7 +473,9 @@ def newborn_candidates(
         label = jnp.repeat(label, nb)
         track = jnp.repeat(track, nb)
         sigma = jnp.repeat(sigma, nb)
-        pri = pri * nb + jnp.tile(jnp.arange(nb, dtype=jnp.int32), H * W)
+        pri = jnp.repeat(pri, nb) * nb + jnp.tile(
+            jnp.arange(nb, dtype=jnp.int32), H * W
+        )
         noise = jax.random.normal(rng, pos.shape, jnp.float32) * sigma[:, None]
         pos = pos + noise
     elif params.if_consider_depth_noise:

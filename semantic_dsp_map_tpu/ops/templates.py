@@ -293,6 +293,32 @@ def template_match(
 # Host-side helpers (numpy; clouds are tiny)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(0, 1))
+def template_match_bank(
+    g: MatchGridConfig,
+    use_freespace: bool,
+    src: jax.Array,         # f32[N, 3]
+    src_valid: jax.Array,   # bool[N]
+    cam_pos: jax.Array,     # f32[3]
+    tpls: jax.Array,        # f32[T, P, 3] centered templates
+    tvalids: jax.Array,     # bool[T, P]
+):
+    """alignTemplatesToPointCloud (pointcloud_tools.h:333-360): sweep EVERY
+    template of the bank in one vmapped program and argmax the PHD score on
+    device — replacing the per-template host loop with its per-hypothesis
+    blocking ``float(score)`` syncs (round-3 weak #5: the template bench ran
+    at 1.1 vs 2.0 fps).  Ties keep the lowest template index (the
+    reference's strict '>' best update).
+
+    Returns (best_idx i32, best_score f32, aligned f32[P, 3])."""
+    res = jax.vmap(
+        lambda t, v: template_match(g, use_freespace, src, src_valid,
+                                    cam_pos, t, v)
+    )(tpls, tvalids)
+    best = jnp.argmax(res.score)
+    return best, res.score[best], res.aligned[best]
+
+
 def compute_mhd(source: np.ndarray, target: np.ndarray) -> float:
     """computeMHD (pointcloud_tools.h:488-501): mean over source points of the
     nearest-neighbor distance to target."""

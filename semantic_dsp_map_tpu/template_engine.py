@@ -169,113 +169,121 @@ class TemplateEngine:
         return int(self.bank.label.size)
 
     # ------------------------------------------------------------------
-    def run(self, state: MapState, cloud, cam_pos: np.ndarray):
-        """Apply both template paths; returns the new state.
+    # ``gate`` is the i32[O, 6] eligibility array from the frame step's
+    # stage1 (map.template_gate): columns [valid, rematch_ok, birth_ok,
+    # track_id, label, cloud_point_count].  The caller fetches it with ONE
+    # host sync; these methods touch the device again only for objects that
+    # actually have work (each separate small read costs ~25 ms of tunnel
+    # latency — reading the object table per-field cost ~500 ms/frame).
 
-        ``cloud`` is the frame's LabeledCloud (device arrays); ``state`` is
-        the post-birth MapState.
-        """
-        obj = state.objects
-        valid = np.asarray(obj.valid)
-        if not valid.any():
+    def rematch(self, state: MapState, cloud, cam_pos: np.ndarray, gate):
+        """Prediction-phase rematch (semantic_dsp_map.h:616-669): objects
+        flagged ``to_match_with_previous`` get their particles re-aligned to
+        the observed cloud BEFORE the PHD update, so the re-matched set
+        participates in the filter the same frame (the reference's order)."""
+        rows = np.nonzero(gate[:, 1])[0]
+        if rows.size == 0:
             return state
-
-        tracks = np.asarray(obj.track_id)
-        labels = np.asarray(obj.label)
-        moving = np.asarray(obj.moving)
-        has_rec = np.asarray(obj.has_moved_record)
-        rematch_flags = np.asarray(obj.to_match_previous)
-        tmpl_flags = np.asarray(obj.to_match_templates)
         cam_pos = np.asarray(cam_pos, np.float32)
-
         g = self.grid
-        new_tmpl_flags = tmpl_flags.copy()
 
-        for row in np.nonzero(valid)[0]:
-            tid = int(tracks[row])
-            label = int(labels[row])
-
-            # ---- rematch path (semantic_dsp_map.h:616-669) -------------
-            if rematch_flags[row] and moving[row] and has_rec[row]:
-                pts, ok, count = _extract_track_points(
-                    self.cfg, g.max_source_points, cloud.pos, cloud.track,
-                    cloud.valid, tid,
-                )
-                if int(count) >= REMATCH_MIN_POINTS:
-                    ppts, pok, pcount = _extract_particle_points(
-                        self.cfg, g.max_template_points, state, tid,
-                        jnp.float32(0.1),
-                    )
-                    if int(pcount) > 0:
-                        # alignPointCloudToXYZCenter on the particle cloud
-                        # (pointcloud_tools.h:320).
-                        ppts_np = np.asarray(ppts)
-                        pok_np = np.asarray(pok)
-                        live = ppts_np[pok_np]
-                        c = (live.min(0) + live.max(0)) * 0.5
-                        ppts = jnp.asarray(
-                            np.where(pok_np[:, None], ppts_np - c, 0.0), jnp.float32
-                        )
-                        res = template_match(
-                            g, False, pts, ok, jnp.asarray(cam_pos), ppts, pok
-                        )
-                        if float(res.score) > self.params.match_score_threshold:
-                            state = _delete_track_particles(self.cfg, state, tid)
-                            state, _n = _insert_cloud(
-                                self.cfg, g.max_template_points, state,
-                                res.aligned, pok, MATCHED_WEIGHT, label, tid,
-                            )
-
-            # ---- template birth (semantic_dsp_map.h:806-894) -----------
-            if (
-                self.bank is not None
-                and tmpl_flags[row]
-                and label == self.car_label
-            ):
-                pts, ok, count = _extract_track_points(
-                    self.cfg, g.max_source_points, cloud.pos, cloud.track,
-                    cloud.valid, tid,
-                )
-                n = int(count)
-                if not (TM_MIN_POINTS < n < TM_MAX_POINTS):
-                    continue
-                pts_np = np.asarray(pts)[np.asarray(ok)]
-                ext = pts_np.max(0) - pts_np.min(0)  # getBoundingBox extent
-                if ext[0] < TM_MIN_BBOX_XY or ext[1] < TM_MIN_BBOX_XY:
-                    continue
-
-                new_tmpl_flags[row] = False  # match once (":842")
-                tpls, tvalids = self.bank.of_label(label)
-                best_score, best_aligned, best_ok = -1.0, None, None
-                for t in range(tpls.shape[0]):
-                    res = template_match(
-                        g, True, pts, ok, jnp.asarray(cam_pos),
-                        jnp.asarray(tpls[t]), jnp.asarray(tvalids[t]),
-                    )
-                    s = float(res.score)
-                    if s > best_score:
-                        best_score = s
-                        best_aligned = np.asarray(res.aligned)
-                        best_ok = tvalids[t]
-
-                if best_aligned is None or best_score < self.params.match_score_threshold:
-                    new_tmpl_flags[row] = True  # retry next frame (":873-875")
-                    continue
-
-                # 3 jittered GUESSED_BORN copies per template point
-                # (semantic_dsp_map.h:878-891).
-                reps = np.repeat(best_aligned, GUESSED_BIRTH_COPIES, axis=0)
-                reps = reps + self._rng.randn(*reps.shape).astype(np.float32) * GUESSED_BIRTH_NOISE
-                rvalid = np.repeat(best_ok, GUESSED_BIRTH_COPIES)
+        for row in rows:
+            tid = int(gate[row, 3])
+            label = int(gate[row, 4])
+            if int(gate[row, 5]) < REMATCH_MIN_POINTS:
+                continue
+            pts, ok, _count = _extract_track_points(
+                self.cfg, g.max_source_points, cloud.pos, cloud.track,
+                cloud.valid, tid,
+            )
+            ppts, pok, pcount = _extract_particle_points(
+                self.cfg, g.max_template_points, state, tid,
+                jnp.float32(0.1),
+            )
+            if int(pcount) == 0:
+                continue
+            # alignPointCloudToXYZCenter on the particle cloud
+            # (pointcloud_tools.h:320).
+            ppts_np = np.asarray(ppts)
+            pok_np = np.asarray(pok)
+            live = ppts_np[pok_np]
+            c = (live.min(0) + live.max(0)) * 0.5
+            ppts = jnp.asarray(
+                np.where(pok_np[:, None], ppts_np - c, 0.0), jnp.float32
+            )
+            res = template_match(
+                g, False, pts, ok, jnp.asarray(cam_pos), ppts, pok
+            )
+            if float(res.score) > self.params.match_score_threshold:
+                state = _delete_track_particles(self.cfg, state, tid)
                 state, _n = _insert_cloud(
-                    self.cfg, reps.shape[0], state, jnp.asarray(reps),
-                    jnp.asarray(rvalid), PARTICLE_OCC_INIT_WEIGHT, label, tid,
+                    self.cfg, g.max_template_points, state,
+                    res.aligned, pok, MATCHED_WEIGHT, label, tid,
                 )
+        return state
 
-        if not np.array_equal(new_tmpl_flags, tmpl_flags):
+    # ------------------------------------------------------------------
+    def template_birth(self, state: MapState, cloud, cam_pos: np.ndarray, gate):
+        """Template birth (semantic_dsp_map.h:806-894), after birth and
+        before render.  The whole template bank sweeps in ONE jitted call
+        (ops.templates.template_match_bank) with a single host sync per
+        eligible object — no per-template ``float(score)`` round-trips."""
+        from .ops.templates import template_match_bank
+
+        if self.bank is None:
+            return state
+        rows = np.nonzero(gate[:, 2])[0]
+        if rows.size == 0:
+            return state
+        cam_pos = np.asarray(cam_pos, np.float32)
+        g = self.grid
+
+        flag_updates = {}
+        for row in rows:
+            tid = int(gate[row, 3])
+            label = int(gate[row, 4])
+            n = int(gate[row, 5])
+            if not (TM_MIN_POINTS < n < TM_MAX_POINTS):
+                continue
+            # getBoundingBox extent, precomputed on device (gate mm columns)
+            if (
+                gate[row, 6] < TM_MIN_BBOX_XY * 1000
+                or gate[row, 7] < TM_MIN_BBOX_XY * 1000
+            ):
+                continue
+            pts, ok, _count = _extract_track_points(
+                self.cfg, g.max_source_points, cloud.pos, cloud.track,
+                cloud.valid, tid,
+            )
+
+            flag_updates[row] = False  # match once (":842")
+            tpls, tvalids = self.bank.of_label(label)
+            best_idx, best_score, aligned = template_match_bank(
+                g, True, pts, ok, jnp.asarray(cam_pos),
+                jnp.asarray(tpls), jnp.asarray(tvalids),
+            )
+            if float(best_score) < self.params.match_score_threshold:
+                flag_updates[row] = True  # retry next frame (":873-875")
+                continue
+            best_ok = tvalids[int(best_idx)]
+
+            # 3 jittered GUESSED_BORN copies per template point
+            # (semantic_dsp_map.h:878-891).
+            reps = np.repeat(np.asarray(aligned), GUESSED_BIRTH_COPIES, axis=0)
+            reps = reps + self._rng.randn(*reps.shape).astype(np.float32) * GUESSED_BIRTH_NOISE
+            rvalid = np.repeat(best_ok, GUESSED_BIRTH_COPIES)
+            state, _n = _insert_cloud(
+                self.cfg, reps.shape[0], state, jnp.asarray(reps),
+                jnp.asarray(rvalid), PARTICLE_OCC_INIT_WEIGHT, label, tid,
+            )
+
+        cleared = [r for r, v in flag_updates.items() if not v]
+        if cleared:
+            idx = jnp.asarray(np.array(cleared, np.int32))
             state = state.replace(
                 objects=state.objects.replace(
-                    to_match_templates=jnp.asarray(new_tmpl_flags)
+                    to_match_templates=state.objects.to_match_templates
+                    .at[idx].set(False)
                 )
             )
         return state
