@@ -193,8 +193,11 @@ class MapConfig:
     #: operations.h:1414-1431).
     corner_gather_blocks: int = 4096
 
-    #: Capacity of the rigid-move working set, in voxel blocks.
-    max_moving_blocks: int = 1024
+    #: Capacity of the rigid-move working set, in voxel blocks.  Movable
+    #: particles live only where movable-label instances have been observed
+    #: (round-4 probe: 48 blocks at VKITTI2 scale) — far below the observe
+    #: working set.  Overflow is surfaced in StepDiagnostics.move_overflow.
+    max_moving_blocks: int = 256
 
     #: Per-pixel particle-table slots for the PHD stencil (the reference's
     #: pyramid lists are unbounded; overflow drops the lightest particles for
@@ -405,9 +408,13 @@ def zed2_config(**overrides) -> MapConfig:
         keypoint_mode=KEYPOINTS_BBOX3D,
         # Right-sized work buffers for the 524k-voxel grid: every element
         # gather/scatter runs at ~6-11 ns/element (PROFILE_r02.md), so an
-        # oversized compact-entry cap costs real milliseconds.  Overflow is
-        # never silent (StepDiagnostics.entry_overflow).
+        # oversized compact-entry cap costs real milliseconds, and the
+        # default 8192-block cap would gather the ENTIRE 4096-block grid
+        # every frame (round-4 probe: 386 active blocks on the bench scene).
+        # Overflow is never silent (StepDiagnostics.*_overflow).
         max_table_entries=1 << 18,
+        max_active_blocks=1024,
+        max_birth_blocks=1024,
     )
     base.update(overrides)
     return MapConfig(**base)

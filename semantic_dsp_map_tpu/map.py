@@ -228,9 +228,10 @@ def _move_and_cleanup(
             valid=bmove.reshape(-1),
         )
         res = _insert_core(
-            cfg, flat_p, scroll, cand, resample_targets=False, need_src=False
+            cfg, flat_p, scroll, cand, resample_targets=False, need_src=False,
+            max_target_blocks=2 * A,
         )
-        return res.particles, res.accepted_count, blocks.overflow
+        return res.particles, res.accepted_count, blocks.overflow + res.block_overflow
 
     def no_move(operands):
         flat_p, _rng = operands

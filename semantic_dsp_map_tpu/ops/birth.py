@@ -161,6 +161,7 @@ def _insert_core(
     vox=None,
     valid=None,
     vox_axis=None,
+    max_target_blocks=None,
 ) -> InsertResult:
     """Sort candidates by (voxel, priority), stage the first K per voxel into
     the active target blocks, optionally resample the targeted voxels, then
@@ -175,7 +176,7 @@ def _insert_core(
     V = particles.px.shape[0] // K
     bv, _nb_full, spb = block_layout(cfg)
     nb = V // bv
-    A = min(cfg.max_birth_blocks, nb)
+    A = min(max_target_blocks or cfg.max_birth_blocks, nb)
     bv_n = bv.bit_length() - 1
 
     flat = particles          # flat storage (linear layout)

@@ -641,9 +641,11 @@ def build_shard_map_step(
         res = _insert_core(
             cfg, flat, scroll, cand, resample_targets=False, need_src=False,
             vox=vox_local, valid=rvalid, vox_axis=vox_axis,
+            max_target_blocks=2 * A_move,
         )
         moved = res.accepted_count
-        return res.particles, moved, blocks.overflow + routed.overflow
+        return res.particles, moved, (blocks.overflow + routed.overflow
+                                      + res.block_overflow)
 
     # ------------------------------------------------------------------
     def body(state: MapState, frame: FrameInput):
