@@ -31,6 +31,24 @@ _VOX_PER_ROW = 128
 _ROWS = 128
 
 
+def _expand_vox(vax_tile, K: int):
+    """Voxel->slot broadcast of per-voxel i32 stamps IN-KERNEL via an exact
+    HIGHEST one-hot matmul (stamps < 2^24 are f32-exact; the XLA-side
+    jnp.repeat alternative is a V*K-element gather measured at ~14 ms/frame
+    at VKITTI2 scale)."""
+    R, G = vax_tile.shape
+    L = G * K
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (G, L), 0)
+    cols_e = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+    expand = (cols_e // K == rows_e).astype(jnp.float32)
+    return jax.lax.dot_general(
+        vax_tile.astype(jnp.float32), expand,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def front_pallas_supported(cfg: MapConfig) -> bool:
     return cfg.num_voxels % _VOX_PER_ROW == 0
 
@@ -38,7 +56,8 @@ def front_pallas_supported(cfg: MapConfig) -> bool:
 def _kernel(
     pose_ref,                       # SMEM [1, 12]: r_cw row-major, t_cw
     px_ref, py_ref, pz_ref,         # VMEM [R, L] f32
-    status_ref, stamp_ref, vax_ref, # VMEM [R, L] u8 / i32 / i32
+    status_ref, stamp_ref,          # VMEM [R, L] u8 / i32
+    vax_ref,                        # VMEM [R, G] i32 (per voxel)
     ha_ref, hc_ref,                 # VMEM out [R, G] u8
     *,
     K: int,
@@ -50,7 +69,8 @@ def _kernel(
 
     x, y, z = px_ref[:], py_ref[:], pz_ref[:]
     st = status_ref[:].astype(jnp.int32)
-    alive = (st != STATUS_INVALID) & (stamp_ref[:] >= vax_ref[:])
+    vax_s = _expand_vox(vax_ref[:], K)
+    alive = (st != STATUS_INVALID) & (stamp_ref[:].astype(jnp.float32) >= vax_s)
 
     r00 = pose_ref[0, 0]; r01 = pose_ref[0, 1]; r02 = pose_ref[0, 2]
     r10 = pose_ref[0, 3]; r11 = pose_ref[0, 4]; r12 = pose_ref[0, 5]
@@ -82,7 +102,8 @@ def _kernel(
 
 
 def _movable_kernel(
-    track_ref, status_ref, stamp_ref, vax_ref,   # VMEM [R, L]
+    track_ref, status_ref, stamp_ref,            # VMEM [R, L]
+    vax_ref,                                     # VMEM [R, G] i32
     hm_ref,                                      # VMEM out [R, G] u8
     *,
     K: int,
@@ -92,7 +113,8 @@ def _movable_kernel(
     G = L // K
     st = status_ref[:].astype(jnp.int32)
     trk = track_ref[:].astype(jnp.int32)
-    alive = (st != STATUS_INVALID) & (stamp_ref[:] >= vax_ref[:])
+    vax_s = _expand_vox(vax_ref[:], K)
+    alive = (st != STATUS_INVALID) & (stamp_ref[:].astype(jnp.float32) >= vax_s)
     movable = alive & (trk <= max_movable)
 
     rows_s = jax.lax.broadcasted_iota(jnp.int32, (L, G), 0)
@@ -133,7 +155,6 @@ def movable_voxels(
         codecs.axis_stamps_per_voxel(cfg, scroll)
         if vox_axis is None else vox_axis
     )
-    vax_slot = jnp.repeat(vax, K)
 
     resh = lambda a: a.reshape(NB, L)
     spec_s = pl.BlockSpec((R, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -144,12 +165,12 @@ def movable_voxels(
         kernel,
         out_shape=jax.ShapeDtypeStruct((NB, G), jnp.uint8),
         grid=(NB // R,),
-        in_specs=[spec_s] * 4,
+        in_specs=[spec_s] * 3 + [spec_v],
         out_specs=spec_v,
         interpret=interpret,
     )(
         resh(particles.track), resh(particles.status), resh(particles.stamp),
-        resh(vax_slot),
+        vax.reshape(NB, G),
     )
     return hm.reshape(-1)
 
@@ -179,7 +200,6 @@ def front_candidates(
         codecs.axis_stamps_per_voxel(cfg, scroll)
         if vox_axis is None else vox_axis
     )
-    vax_slot = jnp.repeat(vax, K)
     pose = jnp.concatenate([r_cw.reshape(-1), t_cw.reshape(-1)]).reshape(1, 12)
 
     resh = lambda a: a.reshape(NB, L)
@@ -202,11 +222,11 @@ def front_candidates(
             jax.ShapeDtypeStruct((NB, G), jnp.uint8),
         ),
         grid=(NB // R,),
-        in_specs=[spec_p] + [spec_s] * 6,
+        in_specs=[spec_p] + [spec_s] * 5 + [spec_v],
         out_specs=(spec_v, spec_v),
         interpret=interpret,
     )(
         pose, resh(particles.px), resh(particles.py), resh(particles.pz),
-        resh(particles.status), resh(particles.stamp), resh(vax_slot),
+        resh(particles.status), resh(particles.stamp), vax.reshape(NB, G),
     )
     return ha.reshape(-1), hc.reshape(-1)

@@ -69,7 +69,8 @@ def render_pallas_supported(cfg: MapConfig) -> bool:
 
 
 def _kernel(
-    weight_ref, alive_ref, status_ref, track_ref, label_ref, vvalid_ref,
+    weight_ref, stamp_ref, status_ref, track_ref, label_ref,
+    vax_ref, vst_ref,
     nw_ref, ns_ref, occ_ref, lab_ref, trk_ref, ws_ref,
     *,
     K: int,
@@ -81,10 +82,12 @@ def _kernel(
     w = weight_ref[:]
     # u8 loads upcast immediately: Mosaic rejects i8 vector comparisons.
     st = status_ref[:].astype(jnp.int32)
-    alive = alive_ref[:].astype(jnp.int32) != 0
     trk = track_ref[:].astype(jnp.int32)
     lab = label_ref[:].astype(jnp.int32)
-    vvalid_v = vvalid_ref[:].astype(jnp.int32) != 0          # [R, G]
+    # Stamps are frame counters (< 2^24), exact in f32.
+    stamp_f = stamp_ref[:].astype(jnp.float32)
+    vax_v = vax_ref[:].astype(jnp.float32)                   # [R, G]
+    vst_v = vst_ref[:].astype(jnp.float32)
 
     dot_d = functools.partial(
         jax.lax.dot_general,
@@ -108,6 +111,12 @@ def _kernel(
     cols_e = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
     expand = (cols_e // K == rows_e).astype(jnp.float32)     # voxel -> slots
 
+    # Voxel->slot broadcast of the scroll stamps IN-KERNEL via an exact
+    # HIGHEST one-hot matmul: the XLA-side jnp.repeat(vax, K) alternative is
+    # a 58.7M-element gather measured at ~14 ms/frame.
+    vax_s = dot_h(vax_v, expand)                             # [R, L]
+    alive = (st != STATUS_INVALID) & (stamp_f >= vax_s)
+    vvalid_v = (vst_v != 0.0) & (vst_v >= vax_v)
     vvalid_s = dot_d(vvalid_v.astype(jnp.float32), expand) > 0.5
 
     # weight_sum accumulates the *pre-clamp* weights (operations.h:414).
@@ -232,13 +241,6 @@ def render_core_pallas(
     L = K * G
     NB = N // L
     R = min(_ROWS, NB)
-    # XLA prepass: alive / voxel-valid masks (flat repeat, layout-safe).
-    alive = (
-        (p.status != STATUS_INVALID) & (p.stamp >= jnp.repeat(vax, K))
-    ).astype(jnp.uint8)
-    vvalid = (
-        (voxel_stamp != 0) & (voxel_stamp >= vax)
-    ).astype(jnp.uint8)
 
     resh = lambda a: a.reshape(NB, L)
     reshv = lambda a: a.reshape(NB, G)
@@ -258,12 +260,12 @@ def render_core_pallas(
             jax.ShapeDtypeStruct((NB, G), jnp.float32),
         ),
         grid=(NB // R,),
-        in_specs=[spec_s] * 5 + [spec_v],
+        in_specs=[spec_s] * 5 + [spec_v] * 2,
         out_specs=(spec_s, spec_s, spec_v, spec_v, spec_v, spec_v),
         interpret=interpret,
     )(
-        resh(p.weight), resh(alive), resh(p.status), resh(p.track),
-        resh(p.label), reshv(vvalid),
+        resh(p.weight), resh(p.stamp), resh(p.status), resh(p.track),
+        resh(p.label), reshv(vax), reshv(voxel_stamp),
     )
 
     particles = p.replace(weight=nw.reshape(-1), status=ns.reshape(-1))
