@@ -36,10 +36,13 @@ from ..config import (
 
 _COEF3 = GAUSSIAN_PDF_COEF ** 3
 
-# Output tile shape.  TH*TW lanes per vector op; TW a lane multiple keeps the
-# boundary shifts cheap.  VMEM per pass-A tile at S=12, R=5:
-# 5*12*(8+10)*(256+10)*4 B ~ 1.1 MB.
-_TH = 8
+# Output tile shapes.  TH*TW lanes per vector op; TW a lane multiple keeps
+# the boundary shifts cheap.  Tuned per pass on hardware (round-4 sweep at
+# VKITTI2 shape): pass A amortizes its table DMA best at TH=24 (18.1 ->
+# 11.9 ms; TH=32 exceeds the VMEM budget), pass B is fastest at the small
+# tile (more buffers live per tile).
+_TH_A = 24
+_TH_B = 8
 _TW = 256
 
 
@@ -128,7 +131,7 @@ def pass_a_pallas(
     px, py, pz, weff, trk,     # [S, H, W] table planes (weff = w * forgetting)
     obs_x, obs_y, obs_z, inv_sigma, obs_trk,  # [H, W]
     interpret: bool = False,
-    th: int = _TH,
+    th: int = _TH_A,
     tw: int = _TW,
 ):
     """Raw per-pixel ck (before the valid mask / P_d / kappa), f32[H, W].
@@ -271,7 +274,7 @@ def pass_b_pallas(
     obs_trk,               # i32[H, W]
     ck_kappa,              # f32[H, W]
     interpret: bool = False,
-    th: int = _TH,
+    th: int = _TH_B,
     tw: int = _TW,
 ):
     """Returns (acc, right) as f32[S, H, W] (right is a 0/1 indicator).
