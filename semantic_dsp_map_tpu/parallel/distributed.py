@@ -163,6 +163,14 @@ def weak_scaling_report(n_devices: int, frames: int = 10,
 
     from ..config import FilterParams
 
+    if n_devices & (n_devices - 1):
+        raise ValueError(
+            f"weak_scaling_report requires a power-of-two n_devices (got "
+            f"{n_devices}): the workload grows via voxel_num_axis_z_n += "
+            f"log2(n) and build_shard_map_step requires D to divide the "
+            f"power-of-two grid axes"
+        )
+
     params = FilterParams(if_consider_depth_noise=True, nb_ptc_num_per_point=1,
                           depth_noise_model_zero_order=0.2)
     base_cfg = _base_config(preset)

@@ -439,7 +439,18 @@ def build_shard_map_step(
             visible_count=jnp.sum(visible.astype(jnp.int32)),
             block_overflow=blocks.overflow,
             entry_overflow=routed.overflow,
-            table_dropped=jnp.sum((real_s & ~keep_s).astype(jnp.int32)),
+            # Count drops only for entries whose pixel row is OWNED by this
+            # device: halo copies of the same entry also compete for slots on
+            # neighbor devices, and counting their losses would inflate the
+            # psum'd diagnostic vs the single-device ObserveDiag.
+            table_dropped=jnp.sum(
+                (
+                    real_s
+                    & ~keep_s
+                    & ((pix_s // W) >= r0)
+                    & ((pix_s // W) < r0 + rpd)
+                ).astype(jnp.int32)
+            ),
             corner_overflow=corner_overflow,
         )
         return out_particles, voxel_stamp, diag
@@ -574,7 +585,7 @@ def build_shard_map_step(
         # routing collectives must run on every device every frame).
         pvb = particles_vk_sized(flat, V_loc, K)
         bpx, bpy, bpz = g(pvb.px), g(pvb.py), g(pvb.pz)
-        bw2, blab = g(pvb.weight), g(pvb.forget)
+        bw2 = g(pvb.weight)
         blabel = g(pvb.label)
 
         def obj_body(o, pos):

@@ -14,11 +14,14 @@ Orchestrates the two template paths of the reference frame kernel:
 
 The per-hypothesis sweep is one jitted program (ops.templates.template_match);
 the orchestration below is host-side because the eligible-object count is
-O(1) per frame and data-dependent.  Sequencing note: the reference runs the
-rematch inside the prediction phase (before the PHD update); here it runs
-after the main jitted step, so re-matched particles first participate in the
-filter on the following frame.  The template-birth placement (after birth,
-before render) matches the reference exactly.
+O(1) per frame and data-dependent.  Sequencing (reference order, restored in
+round 4): the frame step is built as (stage1, stage2, render) —
+map.build_frame_step(split_template=True).  ``rematch`` runs between stage1
+(object update + labeled cloud + scroll/expiry) and stage2 (rigid moves +
+PHD + birth), i.e. inside the PREDICTION phase exactly like the reference
+(semantic_dsp_map.h:616-669), so re-matched particles participate in the PHD
+update the same frame.  ``template_birth`` runs after stage2 and before
+render, matching the reference's placement (:806-894).
 """
 
 from __future__ import annotations
@@ -169,9 +172,11 @@ class TemplateEngine:
         return int(self.bank.label.size)
 
     # ------------------------------------------------------------------
-    # ``gate`` is the i32[O, 6] eligibility array from the frame step's
+    # ``gate`` is the i32[O, 8] eligibility array from the frame step's
     # stage1 (map.template_gate): columns [valid, rematch_ok, birth_ok,
-    # track_id, label, cloud_point_count].  The caller fetches it with ONE
+    # track_id, label, cloud_point_count, bbox_extent_x_mm, bbox_extent_y_mm]
+    # (the two mm columns are read by template_birth's getBoundingBox-style
+    # size gate).  The caller fetches it with ONE
     # host sync; these methods touch the device again only for objects that
     # actually have work (each separate small read costs ~25 ms of tunnel
     # latency — reading the object table per-field cost ~500 ms/frame).
@@ -242,6 +247,12 @@ class TemplateEngine:
         for row in rows:
             tid = int(gate[row, 3])
             label = int(gate[row, 4])
+            # Intentional: the gate carries the UNCAPPED per-track cloud
+            # count, matching the reference's points_num size gate
+            # (semantic_dsp_map.h:815 tests the full observed count, not a
+            # truncated buffer size).  Rounds <=3 compared the count capped
+            # at max_source_points, which could flip the upper bound for
+            # very dense objects.
             n = int(gate[row, 5])
             if not (TM_MIN_POINTS < n < TM_MAX_POINTS):
                 continue
