@@ -28,10 +28,17 @@ from semantic_dsp_map_tpu.ops.phd import (  # noqa: E402
 from semantic_dsp_map_tpu.ops.projection import LabeledCloud  # noqa: E402
 
 
-def make_inputs(cfg, seed=0, fill=0.3):
+def make_inputs(cfg, seed=0, fill=0.3, front_fill=False):
     rng = np.random.RandomState(seed)
     H, W, S = cfg.height, cfg.width, cfg.phd_pixel_table_slots
-    occ = rng.rand(S, H, W) < fill
+    if front_fill:
+        # Realistic production shape: the table is front-filled and sparse
+        # (~1 entry/pixel on covered regions, PROFILE_r04.md) — this is the
+        # case the kernels' slot-group liveness skip accelerates.
+        depth_per_pixel = rng.poisson(fill * S, (1, H, W))
+        occ = np.arange(S)[:, None, None] < depth_per_pixel
+    else:
+        occ = rng.rand(S, H, W) < fill
     track = rng.randint(0, 6, (S, H, W)).astype(np.int32)
     forget = rng.randint(0, 6, (S, H, W)).astype(np.int32)
     meta = np.where(occ, (track << 8) | forget, -1).astype(np.int32)
@@ -65,10 +72,11 @@ def bench(name, fn, *args, iters=10):
     return out, ms
 
 
-def check(cfg_name, cfg, params):
+def check(cfg_name, cfg, params, front_fill=False, fill=0.3):
     print(f"\n== {cfg_name} (R={cfg.neighbor_half}, S={cfg.phd_pixel_table_slots}, "
-          f"{cfg.width}x{cfg.height}) independent={params.if_use_independent_filter}")
-    t, cloud = make_inputs(cfg)
+          f"{cfg.width}x{cfg.height}) independent={params.if_use_independent_filter}"
+          f" front_fill={front_fill} fill={fill}")
+    t, cloud = make_inputs(cfg, fill=fill, front_fill=front_fill)
 
     cfg_xla = type(cfg)(**{**cfg.__dict__, "use_pallas_phd": False})
     cfg_pl = type(cfg)(**{**cfg.__dict__, "use_pallas_phd": True})
@@ -101,4 +109,7 @@ if __name__ == "__main__":
     vp = FilterParams(detection_probability=0.98, noise_number=0.001,
                       if_consider_depth_noise=True)
     check("vkitti2", virtual_kitti2_config(), vp)
+    check("vkitti2/front-fill", virtual_kitti2_config(), vp,
+          front_fill=True, fill=0.09)
+    check("zed2/front-fill", zed2_config(), zp, front_fill=True, fill=0.09)
     print("\nALL OK")

@@ -204,6 +204,14 @@ class MapConfig:
     #: one frame — see ops/phd.py docstring).
     phd_pixel_table_slots: int = 12
 
+    #: Sharded-step skew allowance: per-device working sets and all_to_all
+    #: route buckets are sized at ``headroom/D`` of the single-chip volume
+    #: (parallel/shard_step.py).  Weak-scaling efficiency >= 80% requires
+    #: per-device compiled work <= ~1.25x the uniform 1/D share, so the
+    #: default allows 30% spatial skew; beyond it, work is deferred/dropped
+    #: for one frame and counted in the overflow diagnostics.
+    shard_route_headroom: float = 1.3
+
     #: Run the PHD stencil passes as fused Pallas kernels when the default
     #: backend is TPU (ops/phd_pallas.py).  The XLA stencil is the fallback
     #: (and the oracle the kernels are tested against).
@@ -381,13 +389,18 @@ def virtual_kitti2_config(**overrides) -> MapConfig:
         depth_range_min=0.3, depth_range_max=30.0,
         movement_mode=MOVEMENT_BAYESIAN,
         keypoint_mode=KEYPOINTS_SUPERPOINT,
-        # Right-sized work buffers (round-4 probe on the bench scene: 1907
-        # active blocks, <512k compact entries; every element gather/scatter
-        # runs at ~6-11 ns/element so oversizing costs real milliseconds).
-        # Overflow is never silent (StepDiagnostics.*_overflow).
-        max_active_blocks=4096,
+        # Right-sized work buffers (round-5 probe on the 20-frame warmed
+        # bench scene: 1944 active blocks, 912 birth-target blocks, 50
+        # movable blocks, 490k compact entries; every element gather/scatter
+        # runs at ~6-11 ns/element and sort cost is linear in the working
+        # set, so oversizing costs real milliseconds — the r5 cut of the
+        # observe sort from 1.83M to 0.92M rows alone saved ~7 ms/frame).
+        # Overflow is never silent (StepDiagnostics.*_overflow); the hostile
+        # bench scene (bench.py clip1-shaped workload) validates headroom.
+        max_active_blocks=2048,
         max_table_entries=1 << 19,
-        max_birth_blocks=4096,
+        max_birth_blocks=1536,
+        max_moving_blocks=128,
     )
     base.update(overrides)
     return MapConfig(**base)

@@ -318,22 +318,20 @@ def _insert_core(
         run = run + jnp.where(d_lane >= o, lane_shift(vc, o), 0)
     vrank = run - 1  # vacant-rank of lane j within its voxel (where vac)
 
-    # Shifted copies of the staged fields, once per distinct shift amount.
-    shifts = {s: {} for s in range(-(K - 1), K)}
+    # A vacant lane at in-voxel slot dd with vacant-rank c takes staged
+    # candidate c of its voxel, i.e. the value shifted by s = dd - c; since
+    # the vacant-rank counts vacancies at slots <= dd, c <= dd always, so
+    # only the K non-negative shifts are reachable — one hit mask per shift
+    # (the round-<=4 K x K (dd, c) enumeration built 49 masks of which 42
+    # were identically false).
+    shifts = {s: {} for s in range(K)}
     staged = dict(px=in_px, py=in_py, pz=in_pz, w=in_w, stamp=in_stamp, meta=in_meta)
-    hits = []  # (hit mask, shift) per (dd, c)
-    for dd in range(K):
-        for c in range(K):
-            s = dd - c
-            if "meta" not in shifts[s]:
-                shifts[s]["meta"] = lane_shift(in_meta, s)
-            hit = (
-                vac
-                & (d_lane == dd)
-                & (vrank == c)
-                & (shifts[s]["meta"] >= 0)
-            )
-            hits.append((hit, s))
+    shift_sel = d_lane - vrank  # the one shift each vacant lane can take
+    hits = []  # (hit mask, shift) per shift
+    for s in range(K):
+        shifts[s]["meta"] = lane_shift(in_meta, s)
+        hit = vac & (shift_sel == s) & (shifts[s]["meta"] >= 0)
+        hits.append((hit, s))
 
     took = jnp.zeros((a_rows, spb), bool)
     for hit, _ in hits:

@@ -192,8 +192,15 @@ def observe_and_update(
     ck_kappa, new_w_t, new_f_t = stencil_passes(cfg, params, table, cloud)
 
     dest = jnp.where(keep, jnp.minimum(vrank, S - 1) * HW + pix_s, 0)
-    nw_e = new_w_t.reshape(-1)[dest]
-    nf_e = new_f_t.reshape(-1)[dest]
+    # ONE row-gather for both result planes: two separate 512k-element
+    # gathers cost 14.8 ms on v5e, the stacked [S*H*W, 2] row gather 5.8 ms
+    # (round-5 probe); forget counts (<= 255) are exact in f32.
+    res_t = jnp.stack(
+        [new_w_t.reshape(-1), new_f_t.reshape(-1).astype(jnp.float32)], axis=-1
+    )
+    res_e = res_t[dest]
+    nw_e = res_e[:, 0]
+    nf_e = res_e[:, 1].astype(jnp.int32)
 
     # ---- per-entry results, unsorted back into the working set ----
     w_out = jnp.where(

@@ -12,6 +12,23 @@ tile is ONE contiguous-ish DMA: pass A tables are [5*S, Hp, Wp]
 (px, py, pz, w_eff, track-as-f32), pass B observation grids are [6, Hp, Wp]
 (ox, oy, oz, valid, track, ck_kappa).  Track ids (< 65536) are exact in f32.
 
+Slot-plane skipping (round 5): the pixel table is front-filled and only
+~1-9 % occupied at VKITTI2 scale (PROFILE_r04.md), so most slot planes of
+most tiles are entirely empty and their (2R+1)^2-offset loops multiply
+zeros.  Both kernels therefore process slots in groups of ``_GS`` planes and
+predicate each group's whole offset loop on a per-tile liveness reduction:
+
+  - pass A skips a group iff every w_eff in the group's (halo-included) tile
+    is zero — exactly lossless, every skipped contribution is ``w_eff * gk``;
+  - pass B skips a group iff every slot in the group's tile is EMPTY
+    (track sentinel -2).  Occupancy, not ``ff_eff``, is the test: a fully
+    forgotten particle (ff == 0) contributes nothing to ``acc`` but must
+    still compute ``right`` so a new same-track observation can revive it
+    (semantic_dsp_map.h:1091-1096).
+
+The skip changes only the f32 accumulation order (group-major instead of
+slot-major), bounded well inside the 2e-5 rtol the equality tests assert.
+
 Reference semantics are identical to ops/phd.py (semantic_dsp_map.h:960-1121);
 equality is asserted by tests/test_phd_pallas.py in interpret mode and by the
 TPU-vs-XLA check in benchmarks/check_pallas.py.
@@ -44,6 +61,11 @@ _COEF3 = GAUSSIAN_PDF_COEF ** 3
 _TH_A = 24
 _TH_B = 8
 _TW = 256
+
+#: Slot planes per liveness-predicated group.  Front-filling concentrates
+#: occupancy in the low planes, so groups of 4 capture most of the skip
+#: while keeping the unrolled instruction count at S/4 x (2R+1)^2 blocks.
+_GS = 4
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -80,6 +102,7 @@ def _pass_a_kernel(
     tw: int,
     id_p: float,
     independent: bool,
+    gs: int,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -102,27 +125,46 @@ def _pass_a_kernel(
 
     dma.wait()
 
-    # Static double loop: Mosaic requires slice offsets it can prove aligned
-    # or fully static (dynamic sublane offsets reject with "cannot statically
-    # prove index is a multiple of 8"), so every (dm, dn) is unrolled.
-    ck = jnp.zeros((th, tw), jnp.float32)
-    for dm in range(side):
-        band = tab_vmem[:, dm : dm + th, :]             # [5S, th, tw+2R]
-        for dn in range(side):
-            win = band[:, :, dn : dn + tw].reshape(5, S, th, tw)
-            zx = (win[0] - ox) * inv_sig
-            zy = (win[1] - oy) * inv_sig
-            zz = (win[2] - oz) * inv_sig
-            s2 = zx * zx + zy * zy + zz * zz
-            amax = jnp.maximum(jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz))
-            gk = jnp.where(amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2))
-            if independent:
-                contrib = jnp.where(win[4] == otrk, win[3] * gk, 0.0)
-            else:
-                gk = jnp.where(win[4] != otrk, gk * id_p, gk)
-                contrib = win[3] * gk
-            ck = ck + jnp.sum(contrib, axis=0)
-    ck_ref[:] = ck
+    ck_ref[:] = jnp.zeros((th, tw), jnp.float32)
+
+    for g0 in range(0, S, gs):
+        ge = min(S, g0 + gs)
+        # Liveness over the halo-included tile: w_eff >= 0 and zero-weight
+        # entries contribute exactly zero, so an all-zero group is lossless
+        # to skip.
+        live = jnp.max(tab_vmem[3 * S + g0 : 3 * S + ge]) > 0.0
+
+        @pl.when(live)
+        def _():
+            # Static double loop: Mosaic requires slice offsets it can prove
+            # aligned or fully static (dynamic sublane offsets reject with
+            # "cannot statically prove index is a multiple of 8"), so every
+            # (dm, dn) is unrolled.
+            ck = jnp.zeros((th, tw), jnp.float32)
+            for dm in range(side):
+                for dn in range(side):
+                    win = lambda p: tab_vmem[
+                        p * S + g0 : p * S + ge, dm : dm + th, dn : dn + tw
+                    ]
+                    zx = (win(0) - ox) * inv_sig
+                    zy = (win(1) - oy) * inv_sig
+                    zz = (win(2) - oz) * inv_sig
+                    s2 = zx * zx + zy * zy + zz * zz
+                    amax = jnp.maximum(
+                        jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz)
+                    )
+                    gk = jnp.where(
+                        amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
+                    )
+                    wtrk = win(4)
+                    weff = win(3)
+                    if independent:
+                        contrib = jnp.where(wtrk == otrk, weff * gk, 0.0)
+                    else:
+                        gk = jnp.where(wtrk != otrk, gk * id_p, gk)
+                        contrib = weff * gk
+                    ck = ck + jnp.sum(contrib, axis=0)
+            ck_ref[:] += ck
 
 
 def pass_a_pallas(
@@ -167,6 +209,7 @@ def pass_a_pallas(
         tw=tw,
         id_p=float(params.id_transition_probability),
         independent=bool(params.if_use_independent_filter),
+        gs=min(_GS, S),
     )
     ck = pl.pallas_call(
         kernel,
@@ -206,6 +249,7 @@ def _pass_b_kernel(
     tw: int,
     id_p: float,
     independent: bool,
+    gs: int,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -220,46 +264,62 @@ def _pass_b_kernel(
     )
     dma.start()
 
-    ppx = tab_ref[0]
-    ppy = tab_ref[1]
-    ppz = tab_ref[2]
-    ptrk = tab_ref[3]
-    pff = tab_ref[4]
     inv_sig = sig_ref[0][None]
 
     dma.wait()
 
-    acc = jnp.zeros((S, th, tw), jnp.float32)
-    right = jnp.zeros((S, th, tw), jnp.float32)
-    for dm in range(side):
-        band = obs_vmem[:, dm : dm + th, :]             # [6, th, tw+2R]
-        for dn in range(side):
-            w6 = band[:, :, dn : dn + tw]                # [6, th, tw]
-            zx = (ppx - w6[0][None]) * inv_sig
-            zy = (ppy - w6[1][None]) * inv_sig
-            zz = (ppz - w6[2][None]) * inv_sig
-            s2 = zx * zx + zy * zy + zz * zz
-            amax = jnp.maximum(jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz))
-            gk_raw = jnp.where(
-                amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
-            )
-            ov = w6[3][None]
-            otrk = w6[4][None]
-            ckk = w6[5][None]
-            same = ptrk == otrk
-            if independent:
-                gk = jnp.where(same, gk_raw, 0.0) * pff * ov
-            else:
-                right = jnp.maximum(
-                    right,
-                    jnp.where(
-                        same & (gk_raw > MIN_RIGHTLY_UPDATED_PDF), ov, 0.0
-                    ),
-                )
-                gk = jnp.where(same, gk_raw, gk_raw * id_p) * pff * ov
-            acc = acc + gk / ckk
-    acc_ref[:] = acc
-    right_ref[:] = right
+    acc_ref[:] = jnp.zeros((S, th, tw), jnp.float32)
+    right_ref[:] = jnp.zeros((S, th, tw), jnp.float32)
+
+    for g0 in range(0, S, gs):
+        ge = min(S, g0 + gs)
+        # Liveness = any OCCUPIED slot in the group's tile (empty slots carry
+        # the -2 track sentinel; the tab padding uses -2 too).  ff_eff would
+        # over-skip: occupied-but-fully-forgotten entries have ff == 0 yet
+        # must still compute ``right`` to be revivable.
+        live = jnp.max(tab_ref[3, g0:ge]) > -1.5
+
+        @pl.when(live)
+        def _():
+            ppx = tab_ref[0, g0:ge]
+            ppy = tab_ref[1, g0:ge]
+            ppz = tab_ref[2, g0:ge]
+            ptrk = tab_ref[3, g0:ge]
+            pff = tab_ref[4, g0:ge]
+
+            acc = jnp.zeros((ge - g0, th, tw), jnp.float32)
+            right = jnp.zeros((ge - g0, th, tw), jnp.float32)
+            for dm in range(side):
+                band = obs_vmem[:, dm : dm + th, :]         # [6, th, tw+2R]
+                for dn in range(side):
+                    w6 = band[:, :, dn : dn + tw]            # [6, th, tw]
+                    zx = (ppx - w6[0][None]) * inv_sig
+                    zy = (ppy - w6[1][None]) * inv_sig
+                    zz = (ppz - w6[2][None]) * inv_sig
+                    s2 = zx * zx + zy * zy + zz * zz
+                    amax = jnp.maximum(
+                        jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz)
+                    )
+                    gk_raw = jnp.where(
+                        amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
+                    )
+                    ov = w6[3][None]
+                    otrk = w6[4][None]
+                    ckk = w6[5][None]
+                    same = ptrk == otrk
+                    if independent:
+                        gk = jnp.where(same, gk_raw, 0.0) * pff * ov
+                    else:
+                        right = jnp.maximum(
+                            right,
+                            jnp.where(
+                                same & (gk_raw > MIN_RIGHTLY_UPDATED_PDF), ov, 0.0
+                            ),
+                        )
+                        gk = jnp.where(same, gk_raw, gk_raw * id_p) * pff * ov
+                    acc = acc + gk / ckk
+            acc_ref[g0:ge] = acc
+            right_ref[g0:ge] = right
 
 
 def pass_b_pallas(
@@ -308,10 +368,18 @@ def pass_b_pallas(
         * pads[:, None, None]
     )
 
+    # Tile padding of the table: the track plane pads with the EMPTY sentinel
+    # so all-padding groups read as dead (liveness) rather than as track 0.
     tab = jnp.stack(
-        [px, py, pz, trk_eff.astype(jnp.float32), ff_eff], axis=0
+        [
+            _pad_to(px, HT, WT, 0.0),
+            _pad_to(py, HT, WT, 0.0),
+            _pad_to(pz, HT, WT, 0.0),
+            _pad_to(trk_eff.astype(jnp.float32), HT, WT, -2.0),
+            _pad_to(ff_eff, HT, WT, 0.0),
+        ],
+        axis=0,
     )
-    tab = _pad_to(tab, HT, WT, 0.0)
     sig = _pad_to(inv_sigma_p[None], HT, WT, 1.0)
 
     grid = (HT // th, WT // tw)
@@ -323,6 +391,7 @@ def pass_b_pallas(
         tw=tw,
         id_p=float(params.id_transition_probability),
         independent=bool(params.if_use_independent_filter),
+        gs=min(_GS, S),
     )
     acc, right = pl.pallas_call(
         kernel,

@@ -19,10 +19,18 @@ from semantic_dsp_map_tpu.ops.geometry import forgetting_factor
 from semantic_dsp_map_tpu.ops.projection import LabeledCloud
 
 
-def _inputs(cfg, seed=0, fill=0.4):
+def _inputs(cfg, seed=0, fill=0.4, front_fill=False):
     rng = np.random.RandomState(seed)
     H, W, S = cfg.height, cfg.width, cfg.phd_pixel_table_slots
-    occ = rng.rand(S, H, W) < fill
+    if front_fill:
+        # Realistic front-filled table: slot s occupied only if s-1 is, so
+        # high slot planes are empty — exercises the kernels' slot-group
+        # liveness skip (dead planes must contribute exact zeros / keep
+        # their weight).
+        depth_per_pixel = rng.poisson(fill * S, (1, H, W))
+        occ = np.arange(S)[:, None, None] < depth_per_pixel
+    else:
+        occ = rng.rand(S, H, W) < fill
     track = rng.randint(0, 5, (S, H, W)).astype(np.int32)
     forget = rng.randint(0, 6, (S, H, W)).astype(np.int32)
     meta = np.where(occ, (track << 8) | forget, -1).astype(np.int32)
@@ -46,8 +54,11 @@ def _inputs(cfg, seed=0, fill=0.4):
     return t, cloud
 
 
-@pytest.mark.parametrize("independent", [False, True])
-def test_pallas_stencils_match_xla(independent):
+@pytest.mark.parametrize(
+    "independent,front_fill,fill",
+    [(False, False, 0.4), (True, False, 0.4), (False, True, 0.12)],
+)
+def test_pallas_stencils_match_xla(independent, front_fill, fill):
     cfg = tiny_test_config(phd_pixel_table_slots=4)
     params = FilterParams(
         detection_probability=0.9,
@@ -55,7 +66,7 @@ def test_pallas_stencils_match_xla(independent):
         if_use_independent_filter=independent,
         if_consider_depth_noise=True,
     )
-    t, cloud = _inputs(cfg)
+    t, cloud = _inputs(cfg, fill=fill, front_fill=front_fill)
 
     ck_x = stencil_pass_a(cfg, params, t, cloud)
     nw_x, nf_x = stencil_pass_b(cfg, params, t, cloud, ck_x)
