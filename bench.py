@@ -97,6 +97,68 @@ def synth_vkitti2_frame(cfg, t, car_h_div=6, car_w_div=8):
     return depth, masks, pos, quat
 
 
+def jnp_max(a, b):
+    import jax.numpy as jnp
+
+    return jnp.maximum(a, b)
+
+
+def synth_hostile_frame(cfg, t):
+    """The clip1-shaped stress workload (VERDICT r4 #6): 20 moving tracked
+    cars at staggered depths, a dense near-field wall (heavy birth front),
+    buildings/ground, ego yaw rotation + forward motion.  Sized so the
+    static caps are NEARLY binding — run_config records the peak
+    StepDiagnostics so cap pressure is visible in BENCH_DETAILS.json."""
+    from semantic_dsp_map_tpu.frontend import MaskKpts
+
+    H, W = cfg.height, cfg.width
+    rng = np.random.RandomState(t)
+
+    v = np.arange(H, dtype=np.float32)[:, None]
+    depth = np.full((H, W), 28.0, np.float32)
+    ground = cfg.fy * 1.6 / np.maximum(v - cfg.cy, 1e-3)
+    depth = np.minimum(depth, np.where(v > cfg.cy, ground, depth))
+    depth += rng.randn(H, W).astype(np.float32) * 0.05
+
+    static = np.where(v > cfg.cy, 6, 5).astype(np.uint8) * np.ones((1, W), np.uint8)
+
+    # dense near-field structure: a wall strip at 3.5 m sweeping with t
+    w0 = int((0.05 + 0.01 * t) * W) % (W // 2)
+    depth[: H // 3, w0 : w0 + W // 5] = 3.5 + rng.randn(H // 3, W // 5) * 0.02
+
+    masks = [MaskKpts(track_id=65535, label="static", mask=static)]
+    n_cars = 20
+    for i in range(n_cars):
+        car = np.zeros((H, W), np.uint8)
+        col = (i % 5) / 5.0
+        row = (i // 5) / 4.0
+        cz = 8.0 + 2.0 * (i % 7)
+        cw, ch = W // 14, H // 10
+        cx0 = int((col + 0.01 * t * (1 + i % 3)) * W) % (W - cw)
+        cy0 = int(H // 2 + row * H // 3) % (H - ch)
+        car[cy0 : cy0 + ch, cx0 : cx0 + cw] = 1
+        depth[car > 0] = cz
+        xl = (cx0 - cfg.cx) / cfg.fx * cz
+        yt = (cy0 - cfg.cy) / cfg.fy * cz
+        kpts = np.array(
+            [[xl, yt, cz], [xl + 1.8, yt, cz], [xl, yt + 1.2, cz],
+             [xl + 1.8, yt + 1.2, cz], [xl + 0.9, yt + 0.6, cz],
+             [xl, yt, cz + 3.5]],
+            np.float32,
+        )
+        dx = 0.01 * W / cfg.fx * cz * (1 + i % 3)
+        masks.append(
+            MaskKpts(track_id=10 + i, label="Car", mask=car,
+                     kpts_current=kpts,
+                     kpts_previous=kpts - np.array([dx, 0, 0], np.float32))
+        )
+
+    yaw = 0.008 * t  # ~0.46 deg/frame ego rotation
+    quat = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0], np.float32)
+    pos = np.array([0.05 * t, 0.0, 0.3 * t], np.float32)
+    return depth, masks, pos, quat
+
+
 def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
     import jax
 
@@ -109,7 +171,10 @@ def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
         assert n_tpl > 0, "no templates loaded"
     frames = [synth(cfg, t) for t in range(warmup + iters)]
 
+    import jax
+
     updates = 0
+    peak = None
     for t in range(warmup):
         d, m, p, q = frames[t]
         result, diag = dsp.update(d, m, p, q, time=t * 0.1)
@@ -122,16 +187,23 @@ def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
         d, m, p, q = frames[t]
         result, diag = dsp.update(d, m, p, q, time=t * 0.1)
         updates += diag.visible_count  # device-side; summed lazily
+        # device-side running peak of every diagnostics counter: ONE host
+        # sync at the end exposes cap pressure for the whole run
+        peak = diag if peak is None else jax.tree_util.tree_map(
+            jnp_max, peak, diag
+        )
     total_updates = int(np.asarray(updates))
     _ = float(np.asarray(result.occ[:1])[0])
     dt = time.perf_counter() - t0
 
+    peak_diag = {k: int(np.asarray(v)) for k, v in peak._asdict().items()}
     return {
         "config": name,
         "frames": iters,
         "fps": round(iters / dt, 3),
         "particle_updates_per_sec": int(total_updates / dt),
         "sec_per_frame": round(dt / iters, 4),
+        "peak_diag": peak_diag,
     }
 
 
@@ -188,7 +260,15 @@ def main():
         template_path=os.path.join(os.path.dirname(__file__) or ".", "data", "templates"),
     )
 
-    details = {"zed2": zed2, "vkitti2": vkitti2, "vkitti2_template": tpl}
+    # Hostile clip1-shaped stress scene (VERDICT r4 #6): 20 movers, dense
+    # near-field birth, ego rotation; peak diagnostics recorded.
+    hostile = run_config(
+        "vkitti2_hostile", virtual_kitti2_config(), vk_params,
+        synth_hostile_frame, max(10, iters // 2),
+    )
+
+    details = {"zed2": zed2, "vkitti2": vkitti2, "vkitti2_template": tpl,
+               "vkitti2_hostile": hostile}
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1)
 

@@ -212,6 +212,14 @@ class MapConfig:
     #: for one frame and counted in the overflow diagnostics.
     shard_route_headroom: float = 1.3
 
+    #: Minimum sharded route-bucket capacity (entries per (src, dst) pair).
+    #: Small grids take the full route volume up to this floor so tests can
+    #: never overflow; lowering it (with a small headroom) deliberately
+    #: undersizes the buckets — tests/test_shard_step.py uses that to assert
+    #: the overflow counters fire and the map stays sane under bucket
+    #: pressure.
+    shard_route_floor: int = 1024
+
     #: Run the PHD stencil passes as fused Pallas kernels when the default
     #: backend is TPU (ops/phd_pallas.py).  The XLA stencil is the fallback
     #: (and the oracle the kernels are tested against).
@@ -401,6 +409,10 @@ def virtual_kitti2_config(**overrides) -> MapConfig:
         max_table_entries=1 << 19,
         max_birth_blocks=1536,
         max_moving_blocks=128,
+        # With the validity-filtered corner pass the steady-state working
+        # set is newly-wrapped + still-occluded voxels only; the static-cap
+        # depth gather at the old 4096 cost 15 ms/frame (round-5 trace).
+        corner_gather_blocks=2048,
     )
     base.update(overrides)
     return MapConfig(**base)

@@ -45,10 +45,10 @@ from .ops import codecs
 from .ops.birth import Candidates, birth_and_resample, _insert_core
 from .ops.blocks import (
     block_layout,
-    gather_rows,
+    gather_rows_flat,
     mask_to_block_mask,
     row_valid,
-    scatter_rows,
+    scatter_rows_flat,
     select_blocks,
 )
 from .ops.geometry import camera_matrices
@@ -145,11 +145,12 @@ def _move_and_cleanup(
 
     blocks = select_blocks(block_mask, A)
     rv = row_valid(blocks)
-    g = lambda f: gather_rows(f, blocks, bv)
-    btrk = g(particles.track)
-    bst = g(particles.status)
-    bstamp = g(particles.stamp)
-    baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+    # Flat sliced gathers (ops/blocks.py): only the working set's rows move.
+    g = lambda f: gather_rows_flat(f, blocks, bv * K)
+    btrk = g(flat.track).astype(jnp.int32)
+    bst = g(flat.status).astype(jnp.int32)
+    bstamp = g(flat.stamp).astype(jnp.int32)
+    baxis = jnp.repeat(gather_rows_flat(vox_axis, blocks, bv), K, axis=1)
     balive = (bst != STATUS_INVALID) & (bstamp >= baxis)
     bmovable = balive & (btrk >= 0) & (btrk <= max_movable) & rv[:, None]
 
@@ -177,17 +178,23 @@ def _move_and_cleanup(
     floating = bmovable & ~owned
     bst_clean = jnp.where(floating, STATUS_INVALID, bst)
     flat = flat.replace(
-        status=scatter_rows(particles.status, blocks, bv, bst_clean).reshape(-1)
+        status=scatter_rows_flat(flat.status, blocks, bv * K, bst_clean)
     )
 
     bmove = bmovable & moving_mask & ~floating
 
-    def do_move(operands):
-        flat_p, rng = operands
-        particles = particles_vk(cfg, flat_p)
-        bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
-        bw, blab = g(particles.weight), g(particles.label)
-        bst, bfg = bst_clean, g(particles.forget)
+    # NOTE: this always runs, even when no object is moving.  A lax.cond
+    # around it (rounds 2-4) forced XLA to copy the ENTIRE particle state
+    # through the conditional every frame — 13.3 ms/frame at VKITTI2 scale
+    # (round-5 trace) — while the unconditional working-set math on ~50
+    # movable blocks costs ~3 ms.  Compiler cost model beats intuition:
+    # "skip when static" was the expensive path.
+    if True:
+        flat_p = flat
+        bpx, bpy, bpz = g(flat_p.px), g(flat_p.py), g(flat_p.pz)
+        bw = g(flat_p.weight)
+        blab = g(flat_p.label).astype(jnp.int32)
+        bst, bfg = bst_clean, g(flat_p.forget).astype(jnp.int32)
 
         # Apply each moving object's transform where the track matches —
         # a loop over the (tiny) object table, dense over the working set.
@@ -212,7 +219,7 @@ def _move_and_cleanup(
         # operations.h:321-362), then re-insert as candidates.
         bst_del = jnp.where(bmove, STATUS_INVALID, bst)
         flat_p = flat_p.replace(
-            status=scatter_rows(particles.status, blocks, bv, bst_del).reshape(-1)
+            status=scatter_rows_flat(flat_p.status, blocks, bv * K, bst_del)
         )
 
         n = A * spb
@@ -231,16 +238,9 @@ def _move_and_cleanup(
             cfg, flat_p, scroll, cand, resample_targets=False, need_src=False,
             max_target_blocks=2 * A,
         )
-        return res.particles, res.accepted_count, blocks.overflow + res.block_overflow
-
-    def no_move(operands):
-        flat_p, _rng = operands
-        return flat_p, jnp.int32(0), jnp.int32(0)
-
-    any_moving = jnp.any(mv_obj)
-    out, moved, overflow = jax.lax.cond(
-        any_moving, do_move, no_move, (flat, rng)
-    )
+        out, moved, overflow = (
+            res.particles, res.accepted_count, blocks.overflow + res.block_overflow
+        )
     return out, moved, overflow
 
 

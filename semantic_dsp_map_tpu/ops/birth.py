@@ -46,7 +46,13 @@ from ..state import (
     particles_vk_sized,
 )
 from . import codecs
-from .blocks import ActiveBlocks, block_layout, gather_rows, group_rank, scatter_rows
+from .blocks import (
+    ActiveBlocks,
+    block_layout,
+    gather_rows_flat,
+    group_rank,
+    scatter_rows_flat,
+)
 from .projection import LabeledCloud
 
 
@@ -270,13 +276,17 @@ def _insert_core(
         in_stamp = jnp.where(occupied_stage, uniform_stamp, 0)
     staged_src = stage(N, ssrc, jnp.int32) if need_src else None
 
-    # ---- working set of the target blocks ----
-    g = lambda f: gather_rows(f, blocks, bv)
-    bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
-    bw, blab, btrk = g(particles.weight), g(particles.label), g(particles.track)
-    bst, bstamp, bfg = g(particles.status), g(particles.stamp), g(particles.forget)
+    # ---- working set of the target blocks (flat sliced gathers) ----
+    g = lambda f: gather_rows_flat(f, blocks, bv * K)
+    bpx, bpy, bpz = g(flat.px), g(flat.py), g(flat.pz)
+    bw = g(flat.weight)
+    blab = g(flat.label).astype(jnp.int32)
+    btrk = g(flat.track).astype(jnp.int32)
+    bst = g(flat.status).astype(jnp.int32)
+    bstamp = g(flat.stamp).astype(jnp.int32)
+    bfg = g(flat.forget).astype(jnp.int32)
 
-    baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+    baxis = jnp.repeat(gather_rows_flat(vox_axis, blocks, bv), K, axis=1)
     # Stale slots count as vacant (operations.h:810-816); also prune them so
     # downstream status checks (e.g. resampling) cannot see stale UPDATED
     # particles, matching the reference's prune-on-visit.
@@ -358,16 +368,17 @@ def _insert_core(
     n_st = jnp.where(took, (m_meta >> 24) & 0x7, bst)
     n_fg = jnp.where(took, (m_meta >> 27) & 0x7, bfg)
 
+    sc = lambda f, v: scatter_rows_flat(f, blocks, bv * K, v)
     new = flat.replace(
-        px=scatter_rows(particles.px, blocks, bv, n_px).reshape(-1),
-        py=scatter_rows(particles.py, blocks, bv, n_py).reshape(-1),
-        pz=scatter_rows(particles.pz, blocks, bv, n_pz).reshape(-1),
-        weight=scatter_rows(particles.weight, blocks, bv, n_w).reshape(-1),
-        label=scatter_rows(particles.label, blocks, bv, n_lab).reshape(-1),
-        track=scatter_rows(particles.track, blocks, bv, n_trk).reshape(-1),
-        status=scatter_rows(particles.status, blocks, bv, n_st).reshape(-1),
-        stamp=scatter_rows(particles.stamp, blocks, bv, n_stamp).reshape(-1),
-        forget=scatter_rows(particles.forget, blocks, bv, n_fg).reshape(-1),
+        px=sc(flat.px, n_px),
+        py=sc(flat.py, n_py),
+        pz=sc(flat.pz, n_pz),
+        weight=sc(flat.weight, n_w),
+        label=sc(flat.label, n_lab),
+        track=sc(flat.track, n_trk),
+        status=sc(flat.status, n_st),
+        stamp=sc(flat.stamp, n_stamp),
+        forget=sc(flat.forget, n_fg),
     )
 
     # Staged candidate r (= its lane's slot index) is accepted iff

@@ -158,3 +158,39 @@ def group_rank(sorted_key: jax.Array) -> jax.Array:
     )
     group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
     return idx - group_start
+
+def gather_rows_flat(field: jax.Array, blocks: ActiveBlocks, row_len: int) -> jax.Array:
+    """Row-gather from the FLAT storage array ([V*K] or [V]) with an
+    explicit row length.
+
+    Implementation note (round-5 measurement): the "obvious" sliced-gather
+    form (vmap of dynamic_slice / lax.gather with a 448-wide window, no
+    full-array reshape) HALVED the frame rate on v5e — XLA TPU lowers
+    dynamic-start sliced gathers far worse than a full [NB, row_len]
+    relayout followed by a row index.  The reshape does materialize the
+    whole state per field (~0.77 ms at VKITTI2 scale), but XLA shares it
+    across consumers and the total is the cheaper of the two by 2x
+    end-to-end.  Padding ids read a clamped row (callers mask by
+    :func:`row_valid`).
+    """
+    nbk = field.shape[0] // row_len
+    rows = field.reshape(nbk, row_len)
+    safe = jnp.minimum(blocks.ids, nbk - 1)
+    return rows[safe]
+
+
+def scatter_rows_flat(
+    field: jax.Array, blocks: ActiveBlocks, row_len: int, values: jax.Array
+) -> jax.Array:
+    """Write working-set rows back into the FLAT storage array (dual of
+    :func:`gather_rows_flat`; same measured preference for the reshape-based
+    form — see its docstring).  Padding rows carry id >= NB and are dropped
+    (unique by construction, :class:`ActiveBlocks`)."""
+    nbk = field.shape[0] // row_len
+    rows = field.reshape(nbk, row_len)
+    out = rows.at[blocks.ids].set(
+        values.reshape(values.shape[0], -1).astype(field.dtype),
+        mode="drop",
+        unique_indices=True,
+    )
+    return out.reshape(field.shape)

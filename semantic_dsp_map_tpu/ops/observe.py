@@ -43,10 +43,10 @@ from ..state import Particles, STATUS_INVALID, STATUS_UPDATED, particles_vk
 from . import codecs
 from .blocks import (
     block_layout,
-    gather_rows,
+    gather_rows_flat,
     mask_to_block_mask,
     row_valid,
-    scatter_rows,
+    scatter_rows_flat,
     select_blocks,
 )
 from .geometry import project_to_image, project_to_image_xyz
@@ -125,14 +125,16 @@ def observe_and_update(
     blocks = select_blocks(block_mask, A)
     rv = row_valid(blocks)
 
-    g = lambda f: gather_rows(f, blocks, bv)
-    bpx, bpy, bpz = g(particles.px), g(particles.py), g(particles.pz)
-    bw = g(particles.weight)
-    bst = g(particles.status)
-    bstamp = g(particles.stamp)
-    bforget = g(particles.forget)
-    btrack = g(particles.track)
-    baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+    # Flat sliced gathers: only the working set's rows move (the
+    # reshape-based row gather relayouts the WHOLE state per field).
+    g = lambda f: gather_rows_flat(f, blocks, spb)
+    bpx, bpy, bpz = g(flat.px), g(flat.py), g(flat.pz)
+    bw = g(flat.weight)
+    bst = g(flat.status).astype(jnp.int32)
+    bstamp = g(flat.stamp).astype(jnp.int32)
+    bforget = g(flat.forget).astype(jnp.int32)
+    btrack = g(flat.track).astype(jnp.int32)
+    baxis = jnp.repeat(gather_rows_flat(vox_axis, blocks, bv), K, axis=1)
 
     not_invalid = bst != STATUS_INVALID
     fresh = bstamp >= baxis
@@ -146,9 +148,9 @@ def observe_and_update(
     pix = jnp.where(bcand, brow * W + bcol, HW)
     n_work = A * spb
     src = jax.lax.broadcasted_iota(jnp.int32, (n_work, 1), 0).squeeze(-1)
-    # Cast up front: the storage dtypes are u16/u8 and would overflow the
-    # shift (track 65535 << 8 wraps in u16).
-    meta = (btrack.astype(jnp.int32) << 8) | (bforget.astype(jnp.int32) & 0xFF)
+    # (btrack/bforget were widened to i32 at gather time: the storage dtypes
+    # are u16/u8 and would overflow the shift.)
+    meta = (btrack << 8) | (bforget & 0xFF)
 
     # ---- one multi-operand sort by (pixel, camera depth) ----
     (pix_s, _camz_s, px_s, py_s, pz_s, w_s, meta_s, src_s) = jax.lax.sort(
@@ -232,23 +234,24 @@ def observe_and_update(
     bstamp = jnp.where(upd == 1, global_time, bstamp)
     bforget = jnp.where(upd == 1, m_back & 0xFF, bforget)
 
-    # ---- write back particle rows (flat storage out) ----
+    # ---- write back particle rows (flat sliced scatters) ----
     out_particles = flat.replace(
-        weight=scatter_rows(particles.weight, blocks, bv, bw).reshape(-1),
-        status=scatter_rows(particles.status, blocks, bv, bst).reshape(-1),
-        stamp=scatter_rows(particles.stamp, blocks, bv, bstamp).reshape(-1),
-        forget=scatter_rows(particles.forget, blocks, bv, bforget).reshape(-1),
+        weight=scatter_rows_flat(flat.weight, blocks, spb, bw),
+        status=scatter_rows_flat(flat.status, blocks, spb, bst),
+        stamp=scatter_rows_flat(flat.stamp, blocks, spb, bstamp),
+        forget=scatter_rows_flat(flat.forget, blocks, spb, bforget),
     )
 
     # ---- voxel observation stamps from particle evidence ----
     obs_vox = jnp.any((obs_e == 1).reshape(A, bv, K), axis=2)
-    bvst = gather_rows(voxel_stamp, blocks, bv)
+    bvst = gather_rows_flat(voxel_stamp, blocks, bv)
     bvst = jnp.where(obs_vox & rv[:, None], global_time, bvst)
-    voxel_stamp = scatter_rows(voxel_stamp, blocks, bv, bvst)
+    voxel_stamp = scatter_rows_flat(voxel_stamp, blocks, bv, bvst)
 
     # ---- empty-voxel stamps (imaginary center particle rule) ----
     voxel_stamp, corner_overflow = refresh_empty_voxel_stamps(
-        cfg, scroll, voxel_stamp, has_alive, depth, r_cw, t_cw, global_time
+        cfg, scroll, voxel_stamp, has_alive, depth, r_cw, t_cw, global_time,
+        vox_axis=vox_axis,
     )
 
     diag = ObserveDiag(
@@ -271,6 +274,7 @@ def refresh_empty_voxel_stamps(
     t_cw: jax.Array,
     global_time,
     vox_base=0,
+    vox_axis=None,
 ):
     """Stamp voxels with no live particles whose corner point projects in
     front of the measured surface (operations.h:1414-1431).
@@ -279,6 +283,16 @@ def refresh_empty_voxel_stamps(
     "imaginary particle in the central of the voxel" uses idx*size + p_min
     (operations.h:969-983).  Runs over 512-voxel blocks of the frustum, the
     only element gather being the depth lookup on the needed voxels.
+
+    Bounded deviation (round 5): voxels whose stamp is ALREADY VALID
+    (voxel_valid: stamp != 0 and >= the per-axis scroll stamp) are skipped.
+    The reference re-stamps every visited empty voxel every frame, but the
+    stamp VALUE is only ever consumed through the validity test — skipping
+    the refresh is render-equivalent and shrinks the working set from "the
+    whole observed frustum" to "newly wrapped-in or still-occluded voxels"
+    (the static-cap depth gather alone cost 15 ms/frame at VKITTI2 scale,
+    round-5 trace).  The scalar oracle (tests/oracle_full.py) mirrors the
+    same rule.
 
     ``vox_base`` offsets local voxel ids to global ones (voxel-slab sharding,
     parallel/shard_step.py); sizes derive from ``voxel_stamp``.
@@ -296,14 +310,16 @@ def refresh_empty_voxel_stamps(
     )
     crow, ccol, cz, cok = project_to_image(cfg, r_cw, t_cw, corner)
     need = ~has_alive & cok
+    if vox_axis is not None:
+        need = need & ~codecs.voxel_valid(voxel_stamp, vox_axis)
 
     blocks = select_blocks(need.reshape(nb2, bs).any(axis=1), A2)
     rv = row_valid(blocks)
 
-    bneed = gather_rows(need, blocks, bs) & rv[:, None]
-    brow = gather_rows(crow, blocks, bs)
-    bcol = gather_rows(ccol, blocks, bs)
-    bcz = gather_rows(cz, blocks, bs)
+    bneed = gather_rows_flat(need, blocks, bs) & rv[:, None]
+    brow = gather_rows_flat(crow, blocks, bs)
+    bcol = gather_rows_flat(ccol, blocks, bs)
+    bcz = gather_rows_flat(cz, blocks, bs)
 
     pixd = (
         jnp.clip(brow, 0, H - 1) * W + jnp.clip(bcol, 0, W - 1)
@@ -311,6 +327,6 @@ def refresh_empty_voxel_stamps(
     depth_at = depth.reshape(-1)[pixd].reshape(A2, bs)
     observed = bneed & (bcz <= depth_at)
 
-    bvst = gather_rows(voxel_stamp, blocks, bs)
+    bvst = gather_rows_flat(voxel_stamp, blocks, bs)
     bvst = jnp.where(observed, global_time, bvst)
-    return scatter_rows(voxel_stamp, blocks, bs, bvst), blocks.overflow
+    return scatter_rows_flat(voxel_stamp, blocks, bs, bvst), blocks.overflow

@@ -69,11 +69,11 @@ from ..ops import codecs
 from ..ops.birth import Candidates, _insert_core
 from ..ops.blocks import (
     block_layout,
-    gather_rows,
+    gather_rows_flat,
     group_rank,
     mask_to_block_mask,
     row_valid,
-    scatter_rows,
+    scatter_rows_flat,
     select_blocks,
 )
 from ..ops.geometry import camera_matrices, project_to_image_xyz
@@ -252,12 +252,19 @@ def build_shard_map_step(
     params: FilterParams,
     registry: LabelRegistry,
     mesh: Mesh,
+    packed: bool = False,
 ):
     """Returns the jitted sharded step: (MapState, FrameInput) ->
     (MapState, RenderResult, StepDiagnostics).
 
-    State arrays are sharded on their voxel dimension (z-slabs); FrameInput
-    is replicated.  See the module docstring for the communication plan."""
+    State arrays are sharded on their voxel dimension (z-slabs).  With
+    ``packed=True`` the step instead takes the ONE-BUFFER packed frame
+    (frontend.pack_frame) and decodes it device-side exactly like the
+    single-chip path (map.unpack_frame) — one host->device array per frame
+    instead of 14 replicated leaves (the round-4 transfer lesson: each
+    array costs ~25 ms of host-link latency on this platform).  The buffer
+    is replicated; the decode is a cheap dense pass that every device runs
+    identically."""
     D = int(mesh.devices.size)
     V, K = cfg.num_voxels, cfg.slots_per_voxel
     if V % D or cfg.nz % D:
@@ -292,10 +299,13 @@ def build_shard_map_step(
         )
     n_work = A_loc * spb
     # Route bucket capacity per (src, dst) pair: FULL capacity when the
-    # route volume is small (tests / small grids: overflow impossible),
-    # headroom/D of it when large.
+    # route volume is small (up to the configurable floor — tests / small
+    # grids: overflow impossible), headroom/D of it when large.
+    floor = int(cfg.shard_route_floor)
+
     def _cap(total, full_floor):
-        return max(min(total, full_floor), int(hroom * total) // D)
+        return max(1, min(total, min(full_floor, floor)),
+                   int(hroom * total) // D)
 
     ECAP = _cap(n_work, 1024)           # observe route bucket (src->dst)
     nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
@@ -359,14 +369,15 @@ def build_shard_map_step(
 
         blocks = select_blocks(block_mask, A_loc)
         rv = row_valid(blocks)
-        g = lambda f: gather_rows(f, blocks, bv)
-        bpx, bpy, bpz = g(pv.px), g(pv.py), g(pv.pz)
-        bw = g(pv.weight)
-        bst = g(pv.status)
-        bstamp = g(pv.stamp)
-        bforget = g(pv.forget)
-        btrack = g(pv.track)
-        baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+        # flat sliced gathers (ops/blocks.py): only working-set rows move
+        g = lambda f: gather_rows_flat(f, blocks, bv * K)
+        bpx, bpy, bpz = g(flat.px), g(flat.py), g(flat.pz)
+        bw = g(flat.weight)
+        bst = g(flat.status).astype(jnp.int32)
+        bstamp = g(flat.stamp).astype(jnp.int32)
+        bforget = g(flat.forget).astype(jnp.int32)
+        btrack = g(flat.track).astype(jnp.int32)
+        baxis = jnp.repeat(gather_rows_flat(vox_axis, blocks, bv), K, axis=1)
 
         not_invalid = bst != STATUS_INVALID
         fresh = bstamp >= baxis
@@ -388,10 +399,7 @@ def build_shard_map_step(
         occluded = real & ~far_free & (camz > depth_at * one_sigma)
         visible = real & ~far_free & ~occluded
 
-        meta = (
-            (btrack.astype(jnp.int32) << 8)
-            | (bforget.astype(jnp.int32) & 0xFF)
-        ).reshape(-1)
+        meta = ((btrack << 8) | (bforget & 0xFF)).reshape(-1)
         gid = dev * n_work + jax.lax.broadcasted_iota(
             jnp.int32, (n_work, 1), 0
         ).squeeze(-1)
@@ -477,20 +485,20 @@ def build_shard_map_step(
         )
 
         out_particles = flat.replace(
-            weight=scatter_rows(pv.weight, blocks, bv, bw).reshape(-1),
-            status=scatter_rows(pv.status, blocks, bv, bst).reshape(-1),
-            stamp=scatter_rows(pv.stamp, blocks, bv, bstamp).reshape(-1),
-            forget=scatter_rows(pv.forget, blocks, bv, bforget).reshape(-1),
+            weight=scatter_rows_flat(flat.weight, blocks, bv * K, bw),
+            status=scatter_rows_flat(flat.status, blocks, bv * K, bst),
+            stamp=scatter_rows_flat(flat.stamp, blocks, bv * K, bstamp),
+            forget=scatter_rows_flat(flat.forget, blocks, bv * K, bforget),
         )
 
         obs_vox = jnp.any(observed.reshape(A_loc, bv, K), axis=2)
-        bvst = gather_rows(voxel_stamp, blocks, bv)
+        bvst = gather_rows_flat(voxel_stamp, blocks, bv)
         bvst = jnp.where(obs_vox & rv[:, None], gt, bvst)
-        voxel_stamp = scatter_rows(voxel_stamp, blocks, bv, bvst)
+        voxel_stamp = scatter_rows_flat(voxel_stamp, blocks, bv, bvst)
 
         voxel_stamp, corner_overflow = refresh_empty_voxel_stamps(
             cfg, scroll, voxel_stamp, has_alive, depth_full, r_cw, t_cw, gt,
-            vox_base=dev * V_loc,
+            vox_base=dev * V_loc, vox_axis=vox_axis,
         )
 
         diag = dict(
@@ -594,11 +602,11 @@ def build_shard_map_step(
         movable_p = alive & (track <= max_movable)
         blocks = select_blocks(mask_to_block_mask(movable_p, bv), A_move)
         rv = row_valid(blocks)
-        g = lambda f: gather_rows(f, blocks, bv)
-        btrk = g(track)
-        bst = g(pv.status)
-        bstamp = g(pv.stamp)
-        baxis = jnp.repeat(gather_rows(vox_axis, blocks, bv), K, axis=1)
+        g = lambda f: gather_rows_flat(f, blocks, bv * K)
+        btrk = g(flat.track).astype(jnp.int32)
+        bst = g(flat.status).astype(jnp.int32)
+        bstamp = g(flat.stamp).astype(jnp.int32)
+        baxis = jnp.repeat(gather_rows_flat(vox_axis, blocks, bv), K, axis=1)
         balive = (bst != STATUS_INVALID) & (bstamp >= baxis)
         bmovable = balive & (btrk <= max_movable) & rv[:, None]
 
@@ -626,17 +634,16 @@ def build_shard_map_step(
         floating = bmovable & ~owned
         bst_clean = jnp.where(floating, STATUS_INVALID, bst)
         flat = flat.replace(
-            status=scatter_rows(pv.status, blocks, bv, bst_clean).reshape(-1)
+            status=scatter_rows_flat(flat.status, blocks, bv * K, bst_clean)
         )
         bmove = bmovable & moving_mask & ~floating
 
         # NOTE: unlike the single-device path this branch always executes
         # (lax.cond would still trace both sides under shard_map, and the
         # routing collectives must run on every device every frame).
-        pvb = particles_vk_sized(flat, V_loc, K)
-        bpx, bpy, bpz = g(pvb.px), g(pvb.py), g(pvb.pz)
-        bw2 = g(pvb.weight)
-        blabel = g(pvb.label)
+        bpx, bpy, bpz = g(flat.px), g(flat.py), g(flat.pz)
+        bw2 = g(flat.weight)
+        blabel = g(flat.label).astype(jnp.int32)
 
         def obj_body(o, pos):
             nx, ny, nz = pos
@@ -660,11 +667,11 @@ def build_shard_map_step(
 
         bst_del = jnp.where(bmove, STATUS_INVALID, bst_clean)
         flat = flat.replace(
-            status=scatter_rows(pvb.status, blocks, bv, bst_del).reshape(-1)
+            status=scatter_rows_flat(flat.status, blocks, bv * K, bst_del)
         )
 
         meta = (
-            (jnp.clip(g(pvb.forget).astype(jnp.int32), 0, 7) << 27)
+            (jnp.clip(g(flat.forget).astype(jnp.int32), 0, 7) << 27)
             | (jnp.clip(bst_clean.astype(jnp.int32), 0, 7) << 24)
             | ((blabel.astype(jnp.int32) & 0xFF) << 16)
             | (btrk.astype(jnp.int32) & 0xFFFF)
@@ -810,6 +817,24 @@ def build_shard_map_step(
     render_specs = RenderResult(occ=P(AXIS), label=P(AXIS), track=P(AXIS),
                                 weight_sum=P(AXIS))
     diag_specs = StepDiagnostics(*([P()] * len(StepDiagnostics._fields)))
+
+    if packed:
+        from ..frontend import static_label_table
+        from ..map import unpack_frame
+
+        stable = static_label_table(registry)
+
+        def body_packed(state: MapState, buf):
+            return body(state, unpack_frame(cfg, stable, buf))
+
+        fn = shard_map(
+            body_packed,
+            mesh=mesh,
+            in_specs=(state_specs, P()),
+            out_specs=(out_state_specs, render_specs, diag_specs),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=0)
 
     fn = shard_map(
         body,

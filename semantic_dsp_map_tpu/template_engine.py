@@ -92,21 +92,26 @@ def _extract_particle_points(cfg: MapConfig, n_max: int, state: MapState, tid, w
     Block-compacted (ops/blocks.py): the [V, K] domain is reduced to the
     blocks that contain matching particles before any per-element work —
     jnp.nonzero at [V, K] costs ~0.5 s at VKITTI2 scale (PROFILE_r02.md)."""
-    from .ops.blocks import block_layout, gather_rows, mask_to_block_mask, row_valid, select_blocks
+    from .ops.blocks import (
+        block_layout, gather_rows_flat, mask_to_block_mask, row_valid,
+        select_blocks,
+    )
 
-    p = particles_vk(cfg, state.particles)
+    flat = state.particles
+    p = particles_vk(cfg, flat)
     vox_axis = codecs.axis_stamps_per_voxel(cfg, state.scroll)
     alive = codecs.particle_alive(p.status, p.stamp, vox_axis)
     m = alive & (p.track == tid) & (p.weight > weight_threshold)
 
     bv, nb, spb = block_layout(cfg)
     A = min(cfg.max_moving_blocks, nb)
+    K = cfg.slots_per_voxel
     blocks = select_blocks(mask_to_block_mask(m, bv), A)
     rv = row_valid(blocks)
-    bm = (gather_rows(m, blocks, bv) & rv[:, None]).reshape(-1)
-    bx = gather_rows(p.px, blocks, bv).reshape(-1)
-    by = gather_rows(p.py, blocks, bv).reshape(-1)
-    bz = gather_rows(p.pz, blocks, bv).reshape(-1)
+    bm = (gather_rows_flat(m.reshape(-1), blocks, bv * K) & rv[:, None]).reshape(-1)
+    bx = gather_rows_flat(flat.px, blocks, bv * K).reshape(-1)
+    by = gather_rows_flat(flat.py, blocks, bv * K).reshape(-1)
+    bz = gather_rows_flat(flat.pz, blocks, bv * K).reshape(-1)
     pts, ok = _compact_by_sort(bm, bx, by, bz, min(n_max, A * spb))
     if pts.shape[0] < n_max:
         pad = n_max - pts.shape[0]

@@ -711,9 +711,17 @@ class FullOracle:
         for v in observed_voxels:
             self.voxel_stamp[v] = gt
 
-        # empty-voxel corner rule
+        # empty-voxel corner rule.  Round-5 deviation (mirrored by
+        # ops/observe.py refresh_empty_voxel_stamps): voxels whose stamp is
+        # already VALID are not re-stamped — the stamp value is only ever
+        # consumed through the validity test (stamp != 0 and >= axis stamp),
+        # so this is render-equivalent to the reference's re-stamp-on-visit
+        # while shrinking the production working set dramatically.
         for v in range(V):
             if has_alive[v]:
+                continue
+            ax = self.axis_stamp(v)
+            if self.voxel_stamp[v] != 0 and self.voxel_stamp[v] >= ax:
                 continue
             row, col, cz, ok = self.project(r_cw, t_cw, self.voxel_corner(v))
             if not ok:

@@ -23,8 +23,12 @@ def _run(cfg, n_frames=3, params=None):
     pos = np.zeros(3, np.float32)
     quat = np.array([1.0, 0, 0, 0], np.float32)
     diag = None
+    peak = None
     for t in range(n_frames):
         _, diag = dsp.update(depth, [mask], pos, quat, t * 0.1)
+        d = {k: int(np.asarray(v)) for k, v in diag._asdict().items()}
+        peak = d if peak is None else {k: max(peak[k], d[k]) for k in d}
+    _run.peak = peak
     return diag
 
 
@@ -58,8 +62,12 @@ def test_table_dropped_counter_fires():
 
 
 def test_corner_overflow_counter_fires():
-    diag = _run(tiny_test_config(corner_gather_blocks=1))
-    assert int(diag.corner_overflow) > 0
+    # The validity-filtered corner pass (round 5) drains its working set
+    # over frames — an undersized cap fires on the EARLY frames while the
+    # frustum is still being stamped, then the backlog clears.  Check the
+    # peak across frames, not the final (drained) frame.
+    _run(tiny_test_config(corner_gather_blocks=1))
+    assert _run.peak["corner_overflow"] > 0
 
 
 def test_birth_overflow_counter_fires():
