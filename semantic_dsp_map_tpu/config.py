@@ -405,7 +405,10 @@ def virtual_kitti2_config(**overrides) -> MapConfig:
         # observe sort from 1.83M to 0.92M rows alone saved ~7 ms/frame).
         # Overflow is never silent (StepDiagnostics.*_overflow); the hostile
         # bench scene (bench.py clip1-shaped workload) validates headroom.
-        max_active_blocks=2048,
+        # 2048 overflowed by 33 blocks once the bench scene grew past ~23
+        # frames (the ego keeps driving into fresh ground), so the active
+        # cap carries ~25% headroom over that peak.
+        max_active_blocks=2560,
         max_table_entries=1 << 19,
         max_birth_blocks=1536,
         max_moving_blocks=128,

@@ -29,6 +29,34 @@ predicate each group's whole offset loop on a per-tile liveness reduction:
 The skip changes only the f32 accumulation order (group-major instead of
 slot-major), bounded well inside the 2e-5 rtol the equality tests assert.
 
+Inner-loop diet (round 5, trace-driven): the offset loops are the frame's
+FLOP budget (121 offsets x S slots x every pixel), so every op removed there
+is ~0.5 ms/frame at VKITTI2 scale:
+
+  - the per-axis 10-sigma clip is GONE: whenever any |z| > 10, the fused
+    exp(-0.5*s2) <= e^-50 ~ 2e-22, i.e. the clip only ever zeroed values
+    that are already 17 orders of magnitude below the additive kappa floor
+    (and f32 exp underflows to exactly 0 past s2 ~ 350).  Saves
+    3 abs + 2 max + 1 select per (slot, offset).  The XLA oracle keeps the
+    clip; the difference is bounded by COEF^3 * e^-50, far inside the
+    equality tolerances (and cannot flip pass B's "rightly updated" test,
+    whose threshold is 0.1);
+  - the COEF^3 normalization and (pass B) the forgetting factor multiply
+    are folded into the per-entry planes OUTSIDE the offset loop (weff and
+    ff carry them; acc is scaled once per group after the loop);
+  - pass B's per-offset division gk/ck_kappa is now a multiply by a
+    reciprocal plane computed once per pixel (obs plane 5 holds
+    valid/ck_kappa, which also absorbs the obs-valid mask: invalid pixels
+    carry 0);
+  - the obs-valid mask is likewise folded into the track plane (invalid
+    pixels carry track -1, which can never equal a real or empty-slot
+    track), so the kernels never load a separate validity plane.
+
+Pass B's "rightly updated" comparison still evaluates COEF^3 * exp(...) >
+0.1 with the oracle's exact expression/rounding order — the forget output is
+asserted bit-equal and a threshold refactor (e.g. exp > 0.1/COEF^3) would
+flip ulp-boundary cases.
+
 Reference semantics are identical to ops/phd.py (semantic_dsp_map.h:960-1121);
 equality is asserted by tests/test_phd_pallas.py in interpret mode and by the
 TPU-vs-XLA check in benchmarks/check_pallas.py.
@@ -46,7 +74,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import (
     FilterParams,
     GAUSSIAN_PDF_COEF,
-    GAUSSIAN_PDF_Z_CLIP,
     MIN_RIGHTLY_UPDATED_PDF,
     MapConfig,
 )
@@ -139,7 +166,9 @@ def _pass_a_kernel(
             # Static double loop: Mosaic requires slice offsets it can prove
             # aligned or fully static (dynamic sublane offsets reject with
             # "cannot statically prove index is a multiple of 8"), so every
-            # (dm, dn) is unrolled.
+            # (dm, dn) is unrolled.  COEF^3 is prefolded into the weight
+            # plane (wrapper) and the 10-sigma clip is dropped (module
+            # docstring: exp underflow bounds the difference at ~2e-22).
             ck = jnp.zeros((th, tw), jnp.float32)
             for dm in range(side):
                 for dn in range(side):
@@ -150,12 +179,7 @@ def _pass_a_kernel(
                     zy = (win(1) - oy) * inv_sig
                     zz = (win(2) - oz) * inv_sig
                     s2 = zx * zx + zy * zy + zz * zz
-                    amax = jnp.maximum(
-                        jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz)
-                    )
-                    gk = jnp.where(
-                        amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
-                    )
+                    gk = jnp.exp(-0.5 * s2)
                     wtrk = win(4)
                     weff = win(3)
                     if independent:
@@ -183,8 +207,11 @@ def pass_a_pallas(
     HT = _cdiv(H, th) * th
     WT = _cdiv(W, tw) * tw
 
+    # COEF^3 prefolded into the weight plane: one dense multiply here replaces
+    # a per-(slot, offset) multiply in the kernel (ck tolerance is rtol 2e-5;
+    # this changes rounding by <= 1 ulp).
     tab = jnp.stack(
-        [px, py, pz, weff, trk.astype(jnp.float32)], axis=0
+        [px, py, pz, weff * _COEF3, trk.astype(jnp.float32)], axis=0
     ).reshape(5 * S, H, W)
     # Halo + tile-multiple padding, all zeros: the zero weight plane kills
     # any halo/pad contribution regardless of the other planes' pad values.
@@ -224,6 +251,11 @@ def pass_a_pallas(
             pltpu.VMEM((5 * S, sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # The leaner round-5 inner loop lets Mosaic schedule more offset
+        # iterations concurrently, pushing the scoped temporary stack past
+        # the default 16 MiB; the tile's real buffers are ~4 MiB, so grant
+        # headroom instead of shrinking the (DMA-amortizing) tile.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tab, obs)
     return ck[:H, :W]
@@ -235,12 +267,12 @@ def pass_a_pallas(
 
 
 def _pass_b_kernel(
-    obs_hbm,      # ANY [6, HT+2R, WT+2R]: ox, oy, oz, ov, otrk, ck_kappa
-    tab_ref,      # VMEM [5, S, TH, TW]: px, py, pz, trk_eff, ff_eff
+    obs_hbm,      # ANY [5, HT+2R, WT+2R]: ox, oy, oz, otrk_eff, ick
+    tab_ref,      # VMEM [5, S, TH, TW]: px, py, pz, trk_eff, ffc (ff*COEF^3)
     sig_ref,      # VMEM [1, TH, TW]: inv sigma at the particle's pixel
     acc_ref,      # VMEM out [S, TH, TW]
     right_ref,    # VMEM out [S, TH, TW] (0/1 f32)
-    obs_vmem,     # scratch VMEM [6, TH+2R, TW+2R]
+    obs_vmem,     # scratch VMEM [5, TH+2R, TW+2R]
     sem,
     *,
     S: int,
@@ -274,7 +306,7 @@ def _pass_b_kernel(
     for g0 in range(0, S, gs):
         ge = min(S, g0 + gs)
         # Liveness = any OCCUPIED slot in the group's tile (empty slots carry
-        # the -2 track sentinel; the tab padding uses -2 too).  ff_eff would
+        # the -2 track sentinel; the tab padding uses -2 too).  ffc would
         # over-skip: occupied-but-fully-forgotten entries have ff == 0 yet
         # must still compute ``right`` to be revivable.
         live = jnp.max(tab_ref[3, g0:ge]) > -1.5
@@ -285,41 +317,42 @@ def _pass_b_kernel(
             ppy = tab_ref[1, g0:ge]
             ppz = tab_ref[2, g0:ge]
             ptrk = tab_ref[3, g0:ge]
-            pff = tab_ref[4, g0:ge]
+            ffc = tab_ref[4, g0:ge]
 
+            # The obs-valid mask rides the otrk_eff (-1 at invalid pixels:
+            # never equals a real track or the -2 empty sentinel) and ick
+            # (0 at invalid pixels) planes; ffc carries ff * COEF^3 (and the
+            # occupied mask: 0 on empty slots) so the offset loop multiplies
+            # it exactly once per group, after the accumulation.
             acc = jnp.zeros((ge - g0, th, tw), jnp.float32)
-            right = jnp.zeros((ge - g0, th, tw), jnp.float32)
+            rmax = jnp.zeros((ge - g0, th, tw), jnp.float32)
             for dm in range(side):
-                band = obs_vmem[:, dm : dm + th, :]         # [6, th, tw+2R]
+                band = obs_vmem[:, dm : dm + th, :]         # [5, th, tw+2R]
                 for dn in range(side):
-                    w6 = band[:, :, dn : dn + tw]            # [6, th, tw]
-                    zx = (ppx - w6[0][None]) * inv_sig
-                    zy = (ppy - w6[1][None]) * inv_sig
-                    zz = (ppz - w6[2][None]) * inv_sig
+                    w5 = band[:, :, dn : dn + tw]            # [5, th, tw]
+                    zx = (ppx - w5[0][None]) * inv_sig
+                    zy = (ppy - w5[1][None]) * inv_sig
+                    zz = (ppz - w5[2][None]) * inv_sig
                     s2 = zx * zx + zy * zy + zz * zz
-                    amax = jnp.maximum(
-                        jnp.maximum(jnp.abs(zx), jnp.abs(zy)), jnp.abs(zz)
-                    )
-                    gk_raw = jnp.where(
-                        amax > GAUSSIAN_PDF_Z_CLIP, 0.0, _COEF3 * jnp.exp(-0.5 * s2)
-                    )
-                    ov = w6[3][None]
-                    otrk = w6[4][None]
-                    ckk = w6[5][None]
+                    e = jnp.exp(-0.5 * s2)
+                    otrk = w5[3][None]
+                    ick = w5[4][None]
                     same = ptrk == otrk
                     if independent:
-                        gk = jnp.where(same, gk_raw, 0.0) * pff * ov
+                        acc = acc + jnp.where(same, e, 0.0) * ick
                     else:
-                        right = jnp.maximum(
-                            right,
-                            jnp.where(
-                                same & (gk_raw > MIN_RIGHTLY_UPDATED_PDF), ov, 0.0
-                            ),
-                        )
-                        gk = jnp.where(same, gk_raw, gk_raw * id_p) * pff * ov
-                    acc = acc + gk / ckk
-            acc_ref[g0:ge] = acc
-            right_ref[g0:ge] = right
+                        # The "rightly updated" comparison keeps the oracle's
+                        # exact expression (COEF^3 * exp > 0.1): the forget
+                        # output is asserted bit-equal, so the threshold must
+                        # round identically.
+                        g3 = _COEF3 * e
+                        rmax = jnp.maximum(rmax, jnp.where(same, g3, 0.0))
+                        acc = acc + jnp.where(same, e, e * id_p) * ick
+            acc_ref[g0:ge] = acc * ffc
+            if not independent:
+                right_ref[g0:ge] = jnp.where(
+                    rmax > MIN_RIGHTLY_UPDATED_PDF, 1.0, 0.0
+                )
 
 
 def pass_b_pallas(
@@ -344,39 +377,36 @@ def pass_b_pallas(
     HT = _cdiv(H, th) * th
     WT = _cdiv(W, tw) * tw
 
-    obs = jnp.stack(
-        [
-            obs_x,
-            obs_y,
-            obs_z,
-            obs_valid.astype(jnp.float32),
-            obs_trk.astype(jnp.float32),
-            ck_kappa,
-        ],
-        axis=0,
-    )
-    # Padding: valid=0 kills contributions; ck_kappa pad=1 avoids div-by-0;
-    # track pad=-1 (cannot equal trk_eff's -2 empty sentinel).
+    # Validity folding (module docstring): invalid pixels carry track -1
+    # (never equals a real track or the -2 empty sentinel) and a zero
+    # reciprocal, so the kernel needs neither a validity plane nor a
+    # division — the padding beyond the image is identical to an invalid
+    # pixel (track -1, everything else 0).
+    otrk_eff = jnp.where(obs_valid, obs_trk, -1).astype(jnp.float32)
+    ick = jnp.where(obs_valid, 1.0 / ck_kappa, 0.0)
+    obs = jnp.stack([obs_x, obs_y, obs_z, otrk_eff, ick], axis=0)
     sh = _round_up(th + 2 * R, 8)
     sw = _round_up(tw + 2 * R, 128)
     Hp = HT - th + sh
     Wp = WT - tw + sw
-    pads = jnp.array([0.0, 0.0, 0.0, 0.0, -1.0, 1.0], jnp.float32)
+    pads = jnp.array([0.0, 0.0, 0.0, -1.0, 0.0], jnp.float32)
     padcfg = [(0, 0), (R, Hp - H - R), (R, Wp - W - R)]
     obs = jnp.pad(obs, padcfg) + (
-        jnp.pad(jnp.zeros((6, H, W), jnp.float32), padcfg, constant_values=1.0)
+        jnp.pad(jnp.zeros((5, H, W), jnp.float32), padcfg, constant_values=1.0)
         * pads[:, None, None]
     )
 
     # Tile padding of the table: the track plane pads with the EMPTY sentinel
     # so all-padding groups read as dead (liveness) rather than as track 0.
+    # COEF^3 prefolds into the forgetting plane (applied once per group in
+    # the kernel, after the offset accumulation).
     tab = jnp.stack(
         [
             _pad_to(px, HT, WT, 0.0),
             _pad_to(py, HT, WT, 0.0),
             _pad_to(pz, HT, WT, 0.0),
             _pad_to(trk_eff.astype(jnp.float32), HT, WT, -2.0),
-            _pad_to(ff_eff, HT, WT, 0.0),
+            _pad_to(ff_eff * _COEF3, HT, WT, 0.0),
         ],
         axis=0,
     )
@@ -410,9 +440,10 @@ def pass_b_pallas(
             pl.BlockSpec((S, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((6, sh, sw), jnp.float32),
+            pltpu.VMEM((5, sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(obs, tab, sig)
     return acc[:, :H, :W], right[:, :H, :W]
