@@ -256,7 +256,7 @@ def main():
     tpl = run_config(
         "vkitti2_template", virtual_kitti2_config(), tpl_params,
         lambda c, t: synth_vkitti2_frame(c, t, car_h_div=8, car_w_div=14),
-        max(6, iters // 8),
+        max(20, iters // 2),
         template_path=os.path.join(os.path.dirname(__file__) or ".", "data", "templates"),
     )
 

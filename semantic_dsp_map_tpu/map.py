@@ -315,7 +315,7 @@ def build_frame_step(
     registry: LabelRegistry,
     split_render: bool = False,
     packed: bool = False,
-    split_template: bool = False,
+    template_stages=None,
 ):
     """Returns the jitted per-frame update: (MapState, FrameInput) ->
     (MapState, RenderResult, StepDiagnostics).
@@ -324,12 +324,12 @@ def build_frame_step(
     core: (MapState, FrameInput) -> (MapState, LabeledCloud, StepDiagnostics)
     render: MapState -> (MapState, RenderResult).
 
-    With ``split_template=True`` returns (stage1, stage2, render) for the
-    template-matching path's host-orchestrated stages: stage1 = object
-    update + labeled cloud + scroll/expiry (the rematch slots in after it,
-    in the reference's prediction phase, semantic_dsp_map.h:616-669);
-    stage2 = moves + observe + birth (template birth slots in after it,
-    before render, :806-894)."""
+    ``template_stages`` (a template_engine.TemplateStages) inlines the fused
+    template-matching stages into the step: rematch in the prediction phase
+    (semantic_dsp_map.h:616-669) and template birth between regular birth and
+    render (:806-894) — fully jitted, no host orchestration (round-5
+    redesign; the round-4 host-driven split cost a ~25 ms gate sync per
+    frame, see template_engine docstring)."""
 
     max_movable = registry.max_movable_instance_id
     sky_instance = registry.static_label_to_instance.get(
@@ -371,8 +371,23 @@ def build_frame_step(
         # 3. Prediction: scroll, expiry, cleanup, rigid moves.
         scroll = codecs.update_ego_center(cfg, state.scroll, f.cam_pos, gt)
         objects, _expired = expire_objects(params, objects, gt)
+
+        tmpl_overflow = jnp.int32(0)
+        if template_stages is not None:
+            rng, k_tpl = jax.random.split(rng)
+            gate = template_stages.gate(objects, cloud)
+            # Rematch in the prediction phase, BEFORE the rigid moves
+            # (semantic_dsp_map.h:616-669; matched objects skip the move via
+            # to_match_previous in _move_and_cleanup).
+            particles, rm_ov = template_stages.rematch(
+                state.particles, scroll, cloud, f.cam_pos, gate, gt
+            )
+            tmpl_overflow = tmpl_overflow + rm_ov
+        else:
+            particles = state.particles
+
         particles, moved, move_overflow = _move_and_cleanup(
-            cfg, params, state.particles, scroll, objects, gt, k_move, max_movable
+            cfg, params, particles, scroll, objects, gt, k_move, max_movable
         )
 
         # 4+5. Visibility + PHD weight update (fused, ops/observe.py).
@@ -385,6 +400,14 @@ def build_frame_step(
         particles, born, birth_overflow, _cand = birth_and_resample(
             cfg, params, particles, scroll, cloud, gt, k_birth
         )
+
+        # 6b. Template birth (after birth, before render,
+        # semantic_dsp_map.h:806-894).
+        if template_stages is not None:
+            particles, objects, tb_ov = template_stages.birth(
+                particles, scroll, objects, cloud, f.cam_pos, gate, gt, k_tpl
+            )
+            tmpl_overflow = tmpl_overflow + tb_ov
 
         state = state.replace(
             particles=particles,
@@ -405,7 +428,8 @@ def build_frame_step(
             table_dropped=odiag.table_dropped,
             corner_overflow=odiag.corner_overflow,
             move_overflow=move_overflow,
-            birth_overflow=birth_overflow,
+            # template-stage insert overflow rides the birth counter
+            birth_overflow=birth_overflow + tmpl_overflow,
         )
         return state, cloud, diag
 
@@ -418,143 +442,6 @@ def build_frame_step(
         )
         particles, result = render_fn(cfg, state, params.occupancy_threshold)
         return state.replace(particles=particles), result
-
-    if split_template:
-        # Three-stage split for the template-matching path, restoring the
-        # reference's ordering: the rematch runs in the PREDICTION phase
-        # (between scroll/expiry and the rigid moves, semantic_dsp_map.h:
-        # 616-669), so re-matched particles participate in the PHD update
-        # the same frame (round-3 weak #5's documented lag removed).
-        car_label = registry.label_to_id.get("Car", -1)
-
-        def template_gate(objects, cloud):
-            """One small i32[O, 8] array carrying everything the host-side
-            template orchestration needs to decide eligibility — fetched in
-            ONE sync (each separate device->host read costs ~25 ms of
-            tunnel latency; reading the object table field-by-field cost
-            the round-3 template bench ~500 ms/frame).  Columns: [valid,
-            rematch_ok, birth_ok, track_id, label, cloud_point_count,
-            bbox_extent_x_mm, bbox_extent_y_mm] (getBoundingBox,
-            semantic_dsp_map.h:1388-1412, precomputed here so the host never
-            fetches the point buffer just to measure it)."""
-            O = objects.valid.shape[0]
-            flat_trk = cloud.track.reshape(-1)
-            flat_ok = cloud.valid.reshape(-1)
-            flat_x = cloud.pos[..., 0].reshape(-1)
-            flat_y = cloud.pos[..., 1].reshape(-1)
-            big = jnp.float32(3.4e38)
-
-            def body(o, carry):
-                c, ex, ey = carry
-                m = (flat_trk == objects.track_id[o]) & flat_ok
-                n = jnp.sum(m.astype(jnp.int32))
-                mx = jnp.where(m, flat_x, big)
-                my = jnp.where(m, flat_y, big)
-                sx = jnp.max(jnp.where(m, flat_x, -big)) - jnp.min(mx)
-                sy = jnp.max(jnp.where(m, flat_y, -big)) - jnp.min(my)
-                ok = objects.valid[o] & (n > 0)
-                return (
-                    c.at[o].set(jnp.where(objects.valid[o], n, 0)),
-                    ex.at[o].set(jnp.where(ok, sx, 0.0)),
-                    ey.at[o].set(jnp.where(ok, sy, 0.0)),
-                )
-
-            cnt, ext_x, ext_y = jax.lax.fori_loop(
-                0, O, body,
-                (jnp.zeros(O, jnp.int32), jnp.zeros(O, jnp.float32),
-                 jnp.zeros(O, jnp.float32)),
-            )
-            rem = (
-                objects.valid & objects.to_match_previous & objects.moving
-                & objects.has_moved_record
-            )
-            tb = (
-                objects.valid & objects.to_match_templates
-                & (objects.label == car_label)
-            )
-            return jnp.stack(
-                [
-                    objects.valid.astype(jnp.int32),
-                    rem.astype(jnp.int32),
-                    tb.astype(jnp.int32),
-                    objects.track_id,
-                    objects.label,
-                    cnt,
-                    (ext_x * 1000.0).astype(jnp.int32),
-                    (ext_y * 1000.0).astype(jnp.int32),
-                ],
-                axis=1,
-            )
-
-        def stage1(state: MapState, f: FrameInput):
-            gt = state.global_time + 1
-            rng, k_obj = jax.random.split(state.rng, 2)
-            r_wc, t_wc, r_cw, t_cw = camera_matrices(f.cam_pos, f.cam_quat)
-            objects = state.objects
-            if cfg.consider_instance:
-                obs = ObservedInstances(
-                    valid=f.inst_valid,
-                    track=f.inst_track,
-                    label=f.inst_label,
-                    kpts_curr=f.kpts_curr,
-                    kpts_prev=f.kpts_prev,
-                    kpts_count=f.kpts_count,
-                )
-                objects = object_level_update(
-                    cfg, params, objects, obs, f.cam_pos, r_cw, t_cw,
-                    f.time, state.prev_frame_time, gt, k_obj,
-                )
-            cloud = generate_labeled_cloud(
-                cfg, params, f.depth, f.track_raster, f.track_label_table,
-                r_wc, t_wc, max_movable,
-                sky_instance_id=sky_instance if use_sky_cull else -1,
-                inst_bbox_min=f.inst_bbox_min if use_bbox_gate else None,
-                inst_bbox_max=f.inst_bbox_max if use_bbox_gate else None,
-            )
-            scroll = codecs.update_ego_center(cfg, state.scroll, f.cam_pos, gt)
-            objects, _expired = expire_objects(params, objects, gt)
-            state = state.replace(
-                scroll=scroll, objects=objects, global_time=gt,
-                prev_frame_time=f.time, rng=rng,
-            )
-            return state, cloud, template_gate(objects, cloud)
-
-        def stage2(state: MapState, cloud, f: FrameInput):
-            gt = state.global_time
-            rng, k_move, k_birth = jax.random.split(state.rng, 3)
-            _r_wc, _t_wc, r_cw, t_cw = camera_matrices(f.cam_pos, f.cam_quat)
-            particles, moved, move_overflow = _move_and_cleanup(
-                cfg, params, state.particles, state.scroll, state.objects,
-                gt, k_move, max_movable,
-            )
-            particles, voxel_stamp, odiag = observe_and_update(
-                cfg, params, particles, state.scroll, state.voxel_stamp,
-                cloud, f.depth, r_cw, t_cw, gt,
-            )
-            particles, born, birth_overflow, _cand = birth_and_resample(
-                cfg, params, particles, state.scroll, cloud, gt, k_birth
-            )
-            state = state.replace(
-                particles=particles, voxel_stamp=voxel_stamp, rng=rng
-            )
-            diag = StepDiagnostics(
-                visible_count=odiag.visible_count,
-                born_count=born,
-                moved_count=moved,
-                block_overflow=odiag.block_overflow,
-                entry_overflow=odiag.entry_overflow,
-                table_dropped=odiag.table_dropped,
-                corner_overflow=odiag.corner_overflow,
-                move_overflow=move_overflow,
-                birth_overflow=birth_overflow,
-            )
-            return state, diag
-
-        return (
-            jax.jit(stage1, donate_argnums=0),
-            jax.jit(stage2, donate_argnums=0),
-            jax.jit(render, donate_argnums=0),
-        )
 
     if split_render:
         return (
@@ -626,22 +513,15 @@ class SemanticDSPMap:
         self.log_diagnostics = log_diagnostics
         self._time_origin: Optional[float] = None
         self._templates = None
+        self._step = None         # built lazily (template path: the bank
+        self._packed_step = None  # must be loaded before the stages close
+                                  # over it; see _frame_step)
         if self.params.if_use_template_matching:
-            # Template matching injects host-orchestrated work at two points
-            # (rematch in the prediction phase, semantic_dsp_map.h:616-669;
-            # template birth before render, :806-894), so the step is built
-            # as (stage1, stage2, render).
             from .template_engine import TemplateEngine
 
-            self._stage1, self._stage2, self._render = build_frame_step(
-                cfg, self.params, self.registry, split_template=True
-            )
             self._templates = TemplateEngine(cfg, self.params, self.registry)
-            self._step = None
         else:
             self._step = build_frame_step(cfg, self.params, self.registry)
-        self._packed_step = None  # built lazily on first update()
-        self._packed_stage1 = None  # template path, built lazily
 
     # ------------------------------------------------------------------
     def set_template_path(self, folder: str) -> int:
@@ -657,19 +537,21 @@ class SemanticDSPMap:
         """semantic_dsp_map.h:74-81."""
         self.state = clear_map_state(self.state, self.cfg)
 
+    def _frame_step(self, packed: bool):
+        """The jitted step, built on first use.  Template mode builds the
+        fused template stages from the (by now loaded) bank — fully jitted,
+        no host orchestration (template_engine docstring)."""
+        stages = self._templates.stages() if self._templates else None
+        return build_frame_step(
+            self.cfg, self.params, self.registry, packed=packed,
+            template_stages=stages,
+        )
+
     def update_from_frame(self, frame: FrameInput):
         """Run one frame from pre-built arrays; returns (RenderResult, diag)."""
-        if self._step is not None:
-            self.state, result, diag = self._step(self.state, frame)
-        else:
-            state, cloud, gate = self._stage1(self.state, frame)
-            gate = np.asarray(gate)  # ONE host sync for all eligibility
-            state = self._templates.rematch(state, cloud, frame.cam_pos, gate)
-            state, diag = self._stage2(state, cloud, frame)
-            state = self._templates.template_birth(
-                state, cloud, frame.cam_pos, gate
-            )
-            self.state, result = self._render(state)
+        if self._step is None:
+            self._step = self._frame_step(packed=False)
+        self.state, result, diag = self._step(self.state, frame)
         if self.log_diagnostics:
             d = {k: int(np.asarray(v)) for k, v in diag._asdict().items()}
             print(f"[dsp] t={int(np.asarray(self.state.global_time))} {d}", flush=True)
@@ -691,44 +573,11 @@ class SemanticDSPMap:
         if self._time_origin is None:
             self._time_origin = float(time)
         t = float(time) - self._time_origin
-        if self._step is None:
-            # Template-matching path: the packed one-buffer transfer feeds
-            # stage1, which returns the device-resident FrameInput for
-            # stage2 (the host->device link costs ~25 ms/array, so the
-            # 14-leaf unpacked path was transfer-bound).
-            buf = pack_frame(
-                self.cfg, self.registry, depth, masks, cam_pos, cam_quat, t
-            )
-            if self._packed_stage1 is None:
-                stable = static_label_table(self.registry)
-
-                def stage1_packed(state, b):
-                    f = unpack_frame(self.cfg, stable, b)
-                    state, cloud, gate = self._stage1.__wrapped__(state, f)
-                    return state, cloud, f, gate
-
-                self._packed_stage1 = jax.jit(stage1_packed, donate_argnums=0)
-            state, cloud, f_dev, gate = self._packed_stage1(self.state, buf)
-            gate = np.asarray(gate)  # ONE host sync for all eligibility
-            state = self._templates.rematch(state, cloud, cam_pos, gate)
-            state, diag = self._stage2(state, cloud, f_dev)
-            state = self._templates.template_birth(state, cloud, cam_pos, gate)
-            self.state, result = self._render(state)
-            if self.log_diagnostics:
-                d = {k: int(np.asarray(v)) for k, v in diag._asdict().items()}
-                print(
-                    f"[dsp] t={int(np.asarray(self.state.global_time))} {d}",
-                    flush=True,
-                )
-            return result, diag
-
         buf = pack_frame(
             self.cfg, self.registry, depth, masks, cam_pos, cam_quat, t
         )
         if self._packed_step is None:
-            self._packed_step = build_frame_step(
-                self.cfg, self.params, self.registry, packed=True
-            )
+            self._packed_step = self._frame_step(packed=True)
         self.state, result, diag = self._packed_step(self.state, buf)
         if self.log_diagnostics:
             d = {k: int(np.asarray(v)) for k, v in diag._asdict().items()}

@@ -312,7 +312,23 @@ def build_shard_map_step(
     n_cand = rpd * W * nb_pp
     BCAP = _cap(n_cand, 512)            # birth route bucket
 
+    # Per-device insertion working sets scale with hroom/D exactly like
+    # A_loc: round-5 FLOP isolation (benchmarks/probe_shard_flops2.py) found
+    # the un-scaled move/birth insert working sets were 0.30 of the 0.35
+    # GFLOP/device overhead at D=8 (each _insert_core gathers, merges and
+    # scatters ~9 fields over its whole [A, spb] working set).
     A_move = max(min(cfg.max_moving_blocks, nb_loc), min(16, nb_loc))
+    if D > 1:
+        A_move = max(
+            min(int(hroom * cfg.max_moving_blocks) // D, nb_loc),
+            min(16, nb_loc),
+        )
+    A_birth = max(min(cfg.max_birth_blocks, nb_loc), min(64, nb_loc))
+    if D > 1:
+        A_birth = max(
+            min(int(hroom * cfg.max_birth_blocks) // D, nb_loc),
+            min(64, nb_loc),
+        )
     n_move = A_move * spb
     MCAP = _cap(n_move, 1024)           # move route bucket
 
@@ -581,6 +597,7 @@ def build_shard_map_step(
             need_src=False,
             uniform_weight=PARTICLE_OCC_INIT_WEIGHT, uniform_stamp=gt,
             vox=vox_local, valid=rvalid, vox_axis=vox_axis,
+            max_target_blocks=A_birth,
         )
         return res.particles, res.accepted_count, res.block_overflow, routed.overflow
 
