@@ -207,6 +207,78 @@ def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
     }
 
 
+def run_sharded_tpu_check(iters=8):
+    """Run the explicit shard_map pipeline on the real device mesh (a
+    1-device mesh on this host) and compare its render output bit-for-bit
+    against the plain single-chip step (VERDICT r4 #5: the
+    Pallas-kernels-inside-shard_map combination must execute on TPU, not
+    only on the virtual CPU mesh where _use_pallas() is false).
+
+    Static scene (no moving objects): the sharded move path draws its
+    prediction jitter from a per-device folded key, so only a mover-free
+    scene is bit-comparable across the two step builds."""
+    import jax
+
+    from semantic_dsp_map_tpu.config import FilterParams, zed2_config
+    from semantic_dsp_map_tpu.frontend import MaskKpts, build_frame_input
+    from semantic_dsp_map_tpu.labels import LabelRegistry
+    from semantic_dsp_map_tpu.map import build_frame_step
+    from semantic_dsp_map_tpu.parallel.shard_step import build_shard_map_step
+    from semantic_dsp_map_tpu.parallel.sharding import make_mesh, shard_state
+    from semantic_dsp_map_tpu.state import init_map_state
+
+    cfg = zed2_config()
+    params = FilterParams(
+        detection_probability=0.8, noise_number=0.2, nb_ptc_num_per_point=1,
+        occupancy_threshold=0.15, if_consider_depth_noise=True,
+        depth_noise_model_first_order=0.02, depth_noise_model_zero_order=0.3,
+    )
+    registry = LabelRegistry.default()
+
+    def frame(t):
+        d, masks, pos, quat = synth_zed2_frame(cfg, t)
+        masks = [m for m in masks if m.label == "static"]
+        return build_frame_input(cfg, registry, d, masks, pos, quat, t * 0.1)
+
+    frames = [jax.device_put(frame(t)) for t in range(iters)]
+
+    plain = build_frame_step(cfg, params, registry)
+    s1 = init_map_state(cfg, seed=0)
+    outs_plain = []
+    for f in frames:
+        s1, r1, _ = plain(s1, f)
+        outs_plain.append(jax.tree_util.tree_map(np.asarray, r1))
+
+    mesh = make_mesh(len(jax.devices()))
+    sharded = build_shard_map_step(cfg, params, registry, mesh)
+    s2 = shard_state(cfg, mesh, init_map_state(cfg, seed=0))
+    outs_sh = []
+    for f in frames:
+        s2, r2, _ = sharded(s2, f)
+        outs_sh.append(jax.tree_util.tree_map(np.asarray, r2))
+    equal = all(
+        np.array_equal(a.occ, b.occ)
+        and np.array_equal(a.label, b.label)
+        and np.array_equal(a.track, b.track)
+        for a, b in zip(outs_plain, outs_sh)
+    )
+
+    s2, r2, _ = sharded(s2, frames[0])
+    _ = float(np.asarray(r2.occ[:1])[0])
+    t0 = time.perf_counter()
+    for t in range(iters):
+        s2, r2, _ = sharded(s2, frames[t % len(frames)])
+    _ = float(np.asarray(r2.occ[:1])[0])
+    dt = time.perf_counter() - t0
+    return {
+        "config": "zed2_sharded_mesh%d" % len(jax.devices()),
+        "frames": iters,
+        "fps": round(iters / dt, 3),
+        "render_equal_vs_plain": bool(equal),
+        "backend": jax.default_backend(),
+    }
+
+
 def main():
     from semantic_dsp_map_tpu.config import (
         FilterParams, virtual_kitti2_config, zed2_config,
@@ -269,8 +341,24 @@ def main():
 
     details = {"zed2": zed2, "vkitti2": vkitti2, "vkitti2_template": tpl,
                "vkitti2_hostile": hostile}
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
+    details_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json")
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=1)
+
+    # Sharded pipeline on the real device mesh (Pallas-in-shard_map on TPU;
+    # VERDICT r4 #5).  TPU-only: the CPU path is covered by
+    # tests/test_shard_step.py on the 8-virtual-device mesh.  Guarded, and
+    # the headline numbers are written first, so a sharded-path failure can
+    # never lose them.
+    import jax
+
+    if jax.default_backend() == "tpu":
+        try:
+            details["zed2_sharded"] = run_sharded_tpu_check()
+        except Exception as e:
+            details["zed2_sharded"] = {"error": repr(e)[:300]}
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=1)
 
     # Headline: the VKITTI2 north star (BASELINE.md: >10x the reference's
     # ~10 Hz mapping rate).  vs_baseline is fps / 10 Hz; the ZED2 secondary

@@ -205,12 +205,17 @@ class MapConfig:
     phd_pixel_table_slots: int = 12
 
     #: Sharded-step skew allowance: per-device working sets and all_to_all
-    #: route buckets are sized at ``headroom/D`` of the single-chip volume
-    #: (parallel/shard_step.py).  Weak-scaling efficiency >= 80% requires
-    #: per-device compiled work <= ~1.25x the uniform 1/D share, so the
-    #: default allows 30% spatial skew; beyond it, work is deferred/dropped
+    #: route buckets are sized at ``headroom_eff/D`` of the single-chip
+    #: volume, where the margin scales with the relative load variance of a
+    #: slab: ``headroom_eff = 1 + (headroom - 1) * (1 - 1/D)``
+    #: (parallel/shard_step.py).  A D=2 half-grid slab averages over 4x the
+    #: cells of a D=8 slab, so its load skew is proportionally smaller and
+    #: needs less margin; at D=1 there is no routing and no margin.
+    #: Weak-scaling efficiency >= 80% requires per-device compiled work
+    #: <= ~1.25x the uniform 1/D share (compiled work scales with the static
+    #: caps, not the live counts); skew beyond the margin is deferred/dropped
     #: for one frame and counted in the overflow diagnostics.
-    shard_route_headroom: float = 1.3
+    shard_route_headroom: float = 1.2
 
     #: Minimum sharded route-bucket capacity (entries per (src, dst) pair).
     #: Small grids take the full route volume up to this floor so tests can

@@ -288,52 +288,73 @@ def stencil_pass_b(
 # ---------------------------------------------------------------------------
 
 
-def stencil_passes(
+def _use_pallas_phd(cfg: MapConfig) -> bool:
+    return cfg.use_pallas_phd and jax.default_backend() == "tpu"
+
+
+def stencil_pass_a_any(
+    cfg: MapConfig, params: FilterParams, t: PixelTable, cloud: LabeledCloud
+) -> jax.Array:
+    """Pass A with backend dispatch: ck_kappa f32[H, W].  Split from
+    :func:`stencil_passes` so the sharded path can exchange the ck halo rows
+    between the passes (parallel/shard_step.py)."""
+    if not _use_pallas_phd(cfg):
+        return stencil_pass_a(cfg, params, t, cloud)
+
+    from .phd_pallas import pass_a_pallas
+
+    independent = params.if_use_independent_filter
+    occupied = t.meta >= 0
+    track_t = t.meta >> 8
+    if independent:
+        weff = jnp.where(occupied, t.weight, 0.0)
+    else:
+        ff = forgetting_factor(
+            t.meta & 0xFF, params.forgetting_rate, params.max_forget_count
+        )
+        weff = jnp.where(occupied, t.weight * ff, 0.0)
+
+    inv_sigma = 1.0 / jnp.maximum(cloud.sigma, 1e-6)
+    ck_raw = pass_a_pallas(
+        cfg, params, t.px, t.py, t.pz, weff, track_t,
+        cloud.pos[..., 0], cloud.pos[..., 1], cloud.pos[..., 2],
+        inv_sigma, cloud.track,
+    )
+    ck = jnp.where(cloud.valid, ck_raw, 0.0)
+    return ck * params.detection_probability + params.noise_number
+
+
+def stencil_pass_b_any(
     cfg: MapConfig,
     params: FilterParams,
     t: PixelTable,
     cloud: LabeledCloud,
+    ck_kappa: jax.Array,
 ):
-    """Both PHD passes: returns (ck_kappa f32[H,W], new_weight, new_forget
-    [S,H,W]).  Numerically equivalent between backends (tests/test_phd_pallas)."""
-    use_pallas = cfg.use_pallas_phd and jax.default_backend() == "tpu"
-    if not use_pallas:
-        ck_kappa = stencil_pass_a(cfg, params, t, cloud)
-        new_w, new_f = stencil_pass_b(cfg, params, t, cloud, ck_kappa)
-        return ck_kappa, new_w, new_f
+    """Pass B with backend dispatch: (new_weight, new_forget) [S, H, W]."""
+    if not _use_pallas_phd(cfg):
+        return stencil_pass_b(cfg, params, t, cloud, ck_kappa)
 
-    from .phd_pallas import pass_a_pallas, pass_b_pallas
+    from .phd_pallas import pass_b_pallas
 
     independent = params.if_use_independent_filter
     occupied = t.meta >= 0
     track_t = t.meta >> 8
     forget_t = t.meta & 0xFF
     if independent:
-        weff = jnp.where(occupied, t.weight, 0.0)
         ff_eff = occupied.astype(jnp.float32)
     else:
         ff = forgetting_factor(
             forget_t, params.forgetting_rate, params.max_forget_count
         )
-        weff = jnp.where(occupied, t.weight * ff, 0.0)
         ff_eff = jnp.where(occupied, ff, 0.0)
 
     inv_sigma = 1.0 / jnp.maximum(cloud.sigma, 1e-6)
-    obs_x = cloud.pos[..., 0]
-    obs_y = cloud.pos[..., 1]
-    obs_z = cloud.pos[..., 2]
-
-    ck_raw = pass_a_pallas(
-        cfg, params, t.px, t.py, t.pz, weff, track_t,
-        obs_x, obs_y, obs_z, inv_sigma, cloud.track,
-    )
-    ck = jnp.where(cloud.valid, ck_raw, 0.0)
-    ck_kappa = ck * params.detection_probability + params.noise_number
-
     trk_eff = jnp.where(occupied, track_t, -2)
     acc, right_f = pass_b_pallas(
         cfg, params, t.px, t.py, t.pz, trk_eff, ff_eff, inv_sigma,
-        obs_x, obs_y, obs_z, cloud.valid, cloud.track, ck_kappa,
+        cloud.pos[..., 0], cloud.pos[..., 1], cloud.pos[..., 2],
+        cloud.valid, cloud.track, ck_kappa,
     )
     new_weight = t.weight * (
         acc * params.detection_probability + 1.0 - params.detection_probability
@@ -347,7 +368,20 @@ def stencil_passes(
             0,
             jnp.where(forget_t < FORGET_COUNT_INCREMENT_CAP, forget_t + 1, forget_t),
         )
-    return ck_kappa, new_weight, new_forget
+    return new_weight, new_forget
+
+
+def stencil_passes(
+    cfg: MapConfig,
+    params: FilterParams,
+    t: PixelTable,
+    cloud: LabeledCloud,
+):
+    """Both PHD passes: returns (ck_kappa f32[H,W], new_weight, new_forget
+    [S,H,W]).  Numerically equivalent between backends (tests/test_phd_pallas)."""
+    ck_kappa = stencil_pass_a_any(cfg, params, t, cloud)
+    new_w, new_f = stencil_pass_b_any(cfg, params, t, cloud, ck_kappa)
+    return ck_kappa, new_w, new_f
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,9 @@ scale as 1/D so per-device compiled work actually shrinks with the mesh
 Equality with the single-device step is asserted by
 tests/test_shard_step.py on the 8-virtual-device CPU mesh (noise paths off,
 as in the full-frame oracle).  Tie-breaking note: the pixel-table rank sort
-here uses (pix, camz, global entry id) — one more key than the
-single-device path — so entries with bitwise-equal camera depth in the same
+uses the same stable (pix, camz) 2-key sort as the single-device path, but
+the input stream order is (src device bucket, send slot) instead of
+working-set index — entries with bitwise-equal camera depth in the same
 pixel may land in swapped table slots; all downstream sums are
 order-independent, so results only differ if such a tie straddles the
 rank-S cutoff.
@@ -78,7 +79,7 @@ from ..ops.blocks import (
 )
 from ..ops.geometry import camera_matrices, project_to_image_xyz
 from ..ops.observe import refresh_empty_voxel_stamps
-from ..ops.phd import stencil_passes, table_from_entries
+from ..ops.phd import stencil_pass_a_any, stencil_pass_b_any, table_from_entries
 from ..ops.projection import generate_labeled_cloud
 from ..ops.render import RenderResult, render_core_xla
 from ..state import MapState, Particles, STATUS_INVALID, STATUS_REGULAR_BORN, STATUS_UPDATED, particles_vk_sized
@@ -200,6 +201,13 @@ def _exchange_table_halo(cfg, t_loc, D: int, rpd: int, ext0: int):
     transfer (2 * ext0 rows x W x S x 5 planes) with no skew sensitivity and
     no duplicated sort/table work.
 
+    Round 5 halved the halo: ext0 = R (one stencil radius) instead of 2R.
+    With a 2R halo each device recomputed its neighbors' edge ck rows from
+    scratch; with R, pass A's halo-row cks are incomplete and are instead
+    OVERWRITTEN with the neighbor's correct owned rows by _exchange_ck_halo
+    between the passes — R rows of one f32 plane versus R rows of 5*S table
+    planes.
+
     Encoding: all planes ride ONE i32 collective per hop/direction (f32 via
     bitcast); the meta plane ships as meta+1 so ppermute's zero-fill at the
     image edges (devices without a neighbor) decodes to the empty sentinel
@@ -216,21 +224,25 @@ def _exchange_table_halo(cfg, t_loc, D: int, rpd: int, ext0: int):
         axis=0,
     )  # i32[5, S, rpd, W]
 
+    # Only the needed edge rows ride the wire: hop q contributes
+    # min(rpd, ext0 - (q-1)*rpd) rows (permuting whole owned slabs cost
+    # rpd/ext0 ~ 38x the bytes at VKITTI2 shapes).
     ns = min(-(-ext0 // rpd), D - 1)
     ups, downs = [], []
     for q in range(1, ns + 1):
+        need_q = min(rpd, ext0 - (q - 1) * rpd)
         perm_from_up = [(d, d + q) for d in range(D - q)]
         perm_from_dn = [(d + q, d) for d in range(D - q)]
-        ups.append(jax.lax.ppermute(packed, AXIS, perm_from_up))
-        downs.append(jax.lax.ppermute(packed, AXIS, perm_from_dn))
+        ups.append(jax.lax.ppermute(
+            packed[:, :, rpd - need_q :], AXIS, perm_from_up))
+        downs.append(jax.lax.ppermute(
+            packed[:, :, :need_q], AXIS, perm_from_dn))
 
     rows_have = min(ns * rpd, ext0)
     zrows = jnp.zeros((5, S, ext0 - rows_have, W), jnp.int32)
     if ns:
-        cat_top = jnp.concatenate(ups[::-1], axis=2)
-        top = jnp.concatenate([zrows, cat_top[:, :, cat_top.shape[2] - rows_have:]], axis=2)
-        cat_bot = jnp.concatenate(downs, axis=2)
-        bot = jnp.concatenate([cat_bot[:, :, :rows_have], zrows], axis=2)
+        top = jnp.concatenate([zrows] + ups[::-1], axis=2)
+        bot = jnp.concatenate(downs + [zrows], axis=2)
     else:
         top = bot = jnp.zeros((5, S, ext0, W), jnp.int32)
 
@@ -242,9 +254,129 @@ def _exchange_table_halo(cfg, t_loc, D: int, rpd: int, ext0: int):
     )
 
 
+def _exchange_ck_halo(ck: jax.Array, D: int, rpd: int, ext0: int):
+    """Overwrite the ``ext0`` halo rows of a pass-A output plane
+    [rpd + 2*ext0, W] with the neighbors' CORRECT owned edge rows.
+
+    Pass A over the R-halo table computes complete cks only for the owned
+    rows (a halo-row ck would need table support up to 2R away); the halo
+    rows' cks that pass B reads come from the devices that own them.
+
+    Halo rows with no owner (beyond the image edges; ppermute zero-fills
+    devices outside the permutation) decode to 1.0 — the same value pass B's
+    out-of-array padding uses.  Those rows are observation-invalid so their
+    ck is never a real contribution, but it must not be 0: the XLA pass B
+    computes gk/ckk before masking, and 0/0 would poison the accumulator
+    with NaN.  Encoding: ck+1 rides the wire (ck >= 0 so a legit row is
+    >= 1; a zero-filled row decodes via the == 0 test)."""
+    ns = min(-(-ext0 // rpd), D - 1)
+    if ns == 0:
+        return ck
+    own = ck[ext0 : ext0 + rpd] + 1.0
+    ups, downs = [], []
+    for q in range(1, ns + 1):
+        need_q = min(rpd, ext0 - (q - 1) * rpd)
+        perm_from_up = [(d, d + q) for d in range(D - q)]
+        perm_from_dn = [(d + q, d) for d in range(D - q)]
+        ups.append(jax.lax.ppermute(own[rpd - need_q :], AXIS, perm_from_up))
+        downs.append(jax.lax.ppermute(own[:need_q], AXIS, perm_from_dn))
+    rows_have = min(ns * rpd, ext0)
+    W = ck.shape[1]
+    zrows = jnp.zeros((ext0 - rows_have, W), jnp.float32)
+    top = jnp.concatenate([zrows] + ups[::-1], axis=0)
+    bot = jnp.concatenate(downs + [zrows], axis=0)
+    halo_dec = lambda x: jnp.where(x == 0.0, 1.0, x - 1.0)
+    return jnp.concatenate(
+        [halo_dec(top), ck[ext0 : ext0 + rpd], halo_dec(bot)], axis=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # The sharded step builder
 # ---------------------------------------------------------------------------
+
+
+def shard_caps(cfg: MapConfig, params: FilterParams, D: int) -> dict:
+    """Per-device working-set and route-bucket capacities.
+
+    Capacities ~ headroom_eff/D of the single-chip knobs (overflow is
+    counted, never silent).  The headroom knob bounds the sharded design's
+    per-device FLOP overhead: >=80% weak-scaling efficiency requires
+    per-device compiled work <= ~1.25x the 1/D share.  The margin scales
+    with the relative load variance of a slab, (1 - 1/D): full margin in
+    the many-small-slabs limit, none at D=1 (no routing) — see
+    config.shard_route_headroom.
+
+    Round-5 FLOP isolation (benchmarks/probe_shard_flops2.py) found the
+    previously un-scaled move/birth insert working sets were 0.30 of the
+    0.35 GFLOP/device overhead at D=8 (each _insert_core gathers, merges
+    and scatters ~9 fields over its whole [A, spb] working set), so EVERY
+    per-device buffer here scales with headroom_eff/D.
+    """
+    V, K = cfg.num_voxels, cfg.slots_per_voxel
+    V_loc = V // D
+    H, W = cfg.height, cfg.width
+    rpd = -(-H // D)
+    bv, _nb_full, spb = block_layout(cfg)
+    nb_loc = V_loc // bv
+    hroom = 1.0 + (float(cfg.shard_route_headroom) - 1.0) * (1.0 - 1.0 / D)
+    floor = int(cfg.shard_route_floor)
+
+    def scaled(knob, lo):
+        a = max(min(knob, nb_loc), min(lo, nb_loc))
+        if D > 1:
+            a = max(min(int(hroom * knob) // D, nb_loc), min(lo, nb_loc))
+        return a
+
+    def _cap(total, full_floor):
+        # Route bucket per (src, dst) pair: FULL volume when small (up to
+        # the configurable floor — tests / small grids: overflow
+        # impossible), headroom_eff/D of it when large.
+        return max(1, min(total, min(full_floor, floor)),
+                   int(hroom * total) // D)
+
+    A_loc = scaled(cfg.max_active_blocks, 64)
+    n_work = A_loc * spb
+    nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
+    n_cand = rpd * W * nb_pp
+    A_move = scaled(cfg.max_moving_blocks, 16)
+    A_birth = scaled(cfg.max_birth_blocks, 64)
+    n_move = A_move * spb
+    return dict(
+        hroom=hroom, A_loc=A_loc, n_work=n_work,
+        ECAP=_cap(n_work, 1024), BCAP=_cap(n_cand, 512),
+        MCAP=_cap(n_move, 1024),
+        A_move=A_move, A_birth=A_birth, n_move=n_move,
+        C_loc=max(1, min(
+            D * _cap(n_work, 1024), cfg.max_table_entries,
+            max(floor, int(hroom * cfg.max_table_entries) // D),
+        )),
+    )
+
+
+def ici_bytes_per_frame(cfg: MapConfig, params: FilterParams, D: int) -> int:
+    """Per-device ICI traffic of one sharded frame, in bytes (both
+    directions): the three all_to_all routes (+ observe's result
+    route-back), the dense table/ck halo ppermutes, and the diagnostics
+    psum.  Everything is a fixed-capacity buffer, so this is exact for the
+    compiled program (actual occupancy does not change wire bytes)."""
+    c = shard_caps(cfg, params, D)
+    S = cfg.phd_pixel_table_slots
+    R = cfg.neighbor_half
+    H, W = cfg.height, cfg.width
+    rpd = -(-H // D)
+    ext0 = R
+    ns = min(-(-ext0 // rpd), D - 1)
+    rows = min(ns * rpd, ext0)          # halo rows actually on the wire
+    b = 0
+    b += D * c["ECAP"] * 8 * 4          # observe route out (7 fields + valid)
+    b += D * c["ECAP"] * 2 * 4          # observe results back (w, meta)
+    b += D * c["BCAP"] * 7 * 4          # birth route (6 fields + valid)
+    b += D * c["MCAP"] * 9 * 4          # move route (8 fields + valid)
+    b += 2 * 5 * S * rows * W * 4       # table halo (2 dirs, 5 planes)
+    b += 2 * rows * W * 4               # ck halo (2 dirs, 1 plane)
+    b += 9 * 4                          # diagnostics psum
+    return b
 
 
 def build_shard_map_step(
@@ -277,60 +409,18 @@ def build_shard_map_step(
     S = cfg.phd_pixel_table_slots
     R = cfg.neighbor_half
     rpd = -(-H // D)                    # image rows per device
-    ext0 = 2 * R                        # halo rows above the owned slab
-    Hext = rpd + 4 * R                  # cloud/table rows incl. halos
-    Hpad = rpd * D + 4 * R              # padded full-image rows
+    ext0 = R                            # halo rows above the owned slab
+    Hext = rpd + 2 * R                  # cloud/table rows incl. halos
+    Hpad = rpd * D + 2 * R              # padded full-image rows
 
     bv, _nb_full, spb = block_layout(cfg)
     nb_loc = V_loc // bv
-    # Per-device capacities ~ headroom/D of the single-chip knobs (overflow
-    # is counted, never silent).  The headroom knob bounds the sharded
-    # design's per-device FLOP overhead: >=80% weak-scaling efficiency
-    # requires per-device compiled work <= ~1.25x the 1/D share
-    # (VERDICT r4), so the default skew allowance is 1.3 — spatial skew
-    # beyond it drops work for ONE frame and is surfaced in the overflow
-    # counters.
-    hroom = float(cfg.shard_route_headroom)
-    A_loc = max(min(cfg.max_active_blocks, nb_loc), min(64, nb_loc))
-    if D > 1:
-        A_loc = max(
-            min(int(hroom * cfg.max_active_blocks) // D, nb_loc),
-            min(64, nb_loc),
-        )
-    n_work = A_loc * spb
-    # Route bucket capacity per (src, dst) pair: FULL capacity when the
-    # route volume is small (up to the configurable floor — tests / small
-    # grids: overflow impossible), headroom/D of it when large.
-    floor = int(cfg.shard_route_floor)
-
-    def _cap(total, full_floor):
-        return max(1, min(total, min(full_floor, floor)),
-                   int(hroom * total) // D)
-
-    ECAP = _cap(n_work, 1024)           # observe route bucket (src->dst)
+    caps = shard_caps(cfg, params, D)
+    hroom = caps["hroom"]
+    A_loc, n_work, ECAP = caps["A_loc"], caps["n_work"], caps["ECAP"]
+    BCAP, MCAP = caps["BCAP"], caps["MCAP"]
+    A_move, A_birth, n_move = caps["A_move"], caps["A_birth"], caps["n_move"]
     nb_pp = params.nb_ptc_num_per_point if params.if_consider_depth_noise else 1
-    n_cand = rpd * W * nb_pp
-    BCAP = _cap(n_cand, 512)            # birth route bucket
-
-    # Per-device insertion working sets scale with hroom/D exactly like
-    # A_loc: round-5 FLOP isolation (benchmarks/probe_shard_flops2.py) found
-    # the un-scaled move/birth insert working sets were 0.30 of the 0.35
-    # GFLOP/device overhead at D=8 (each _insert_core gathers, merges and
-    # scatters ~9 fields over its whole [A, spb] working set).
-    A_move = max(min(cfg.max_moving_blocks, nb_loc), min(16, nb_loc))
-    if D > 1:
-        A_move = max(
-            min(int(hroom * cfg.max_moving_blocks) // D, nb_loc),
-            min(16, nb_loc),
-        )
-    A_birth = max(min(cfg.max_birth_blocks, nb_loc), min(64, nb_loc))
-    if D > 1:
-        A_birth = max(
-            min(int(hroom * cfg.max_birth_blocks) // D, nb_loc),
-            min(64, nb_loc),
-        )
-    n_move = A_move * spb
-    MCAP = _cap(n_move, 1024)           # move route bucket
 
     max_movable = registry.max_movable_instance_id
     sky_instance = registry.static_label_to_instance.get(
@@ -416,9 +506,6 @@ def build_shard_map_step(
         visible = real & ~far_free & ~occluded
 
         meta = ((btrack << 8) | (bforget & 0xFF)).reshape(-1)
-        gid = dev * n_work + jax.lax.broadcasted_iota(
-            jnp.int32, (n_work, 1), 0
-        ).squeeze(-1)
 
         # -- route visible entries to their pixel-row OWNER only --
         # Round-4 also routed halo copies (an entry near a slab boundary
@@ -432,22 +519,35 @@ def build_shard_map_step(
             "pix": pix, "camz": camz,
             "px": bpx.reshape(-1), "py": bpy.reshape(-1),
             "pz": bpz.reshape(-1), "w": bw.reshape(-1),
-            "meta": meta, "gid": gid,
+            "meta": meta,
         }
         routed = _route(fields, visible, owner, D, ECAP)
 
         # -- local rank + table on the OWNED row slab --
+        # (pix, camz) 2-key sort exactly like the single-device path:
+        # lax.sort is stable and the received bucket order (src device, send
+        # slot) is deterministic, so no explicit tie-break key is needed.
         M = D * ECAP
         r0 = dev * rpd
         pix_r = jnp.where(routed.recv_valid, routed.fields["pix"], HW)
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).squeeze(-1)
-        (pix_s, _cz, _gid_s, px_s, py_s, pz_s, w_s, meta_s, slot_s) = jax.lax.sort(
-            (pix_r, routed.fields["camz"], routed.fields["gid"],
+        (pix_s, _cz, px_s, py_s, pz_s, w_s, meta_s, slot_s) = jax.lax.sort(
+            (pix_r, routed.fields["camz"],
              routed.fields["px"], routed.fields["py"], routed.fields["pz"],
              routed.fields["w"], routed.fields["meta"], iota_m),
-            num_keys=3,
+            num_keys=2,
         )
+        # The per-device share of the single-chip compact-entry cap
+        # (observe.py slices its sorted stream to max_table_entries; without
+        # this the receiver-side table pipeline ran on the FULL bucket
+        # volume — ~3x the base per-device stream, a large share of the
+        # weak-scaling FLOP overhead).  Dropped-entry accounting below.
+        C_loc = caps["C_loc"]
+        n_real_full = jnp.sum((pix_s < HW).astype(jnp.int32))
+        pix_s, px_s, py_s, pz_s = pix_s[:C_loc], px_s[:C_loc], py_s[:C_loc], pz_s[:C_loc]
+        w_s, meta_s, slot_s = w_s[:C_loc], meta_s[:C_loc], slot_s[:C_loc]
         real_s = pix_s < HW
+        cap_dropped = n_real_full - jnp.sum(real_s.astype(jnp.int32))
         rank_s = group_rank(pix_s)
         keep_s = real_s & (rank_s < S)
         # owned-slab-local pixel ids (all received entries are owned rows)
@@ -458,11 +558,16 @@ def build_shard_map_step(
             px_s, py_s, pz_s, w_s, meta_s >> 8, meta_s & 0xFF,
             n_rows=rpd,
         )
-        # -- dense halo exchange + stencil on the extended row slab --
+        # -- dense halo exchange + stencils on the extended row slab --
+        # R-row table halo for pass A's owned rows; pass A's (incomplete)
+        # halo-row cks are then overwritten with the owners' correct rows
+        # before pass B reads them (_exchange_ck_halo docstring).
         table = _exchange_table_halo(cfg, t_loc, D, rpd, ext0)
         # table-ext-local pixel ids of the owned entries (for result gather)
         pix_loc = jnp.where(keep_s, pix_s - (r0 - ext0) * W, Hext * W)
-        ck_kappa, new_w_t, new_f_t = stencil_passes(cfg, params, table, cloud_ext)
+        ck_kappa = stencil_pass_a_any(cfg, params, table, cloud_ext)
+        ck_kappa = _exchange_ck_halo(ck_kappa, D, rpd, ext0)
+        new_w_t, new_f_t = stencil_pass_b_any(cfg, params, table, cloud_ext, ck_kappa)
 
         dest_t = jnp.where(keep_s, jnp.minimum(rank_s, S - 1) * (Hext * W) + pix_loc, 0)
         # One row-gather for both result planes (see ops/observe.py; two
@@ -520,7 +625,7 @@ def build_shard_map_step(
         diag = dict(
             visible_count=jnp.sum(visible.astype(jnp.int32)),
             block_overflow=blocks.overflow,
-            entry_overflow=routed.overflow,
+            entry_overflow=routed.overflow + cap_dropped,
             # Owner-only routing: every received entry competes exactly
             # once, so the psum'd drop count matches the single-device
             # ObserveDiag semantics directly.
