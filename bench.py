@@ -22,6 +22,15 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the full bench compiles ~6 large
+# executables (~3 min each through a slow tunnel session); cache hits make
+# re-runs start in seconds.  Repo-local dir, gitignored.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def synth_zed2_frame(cfg, t):
     """ZED2-like frame at full sensor res (update() BOOST-resizes)."""
@@ -182,20 +191,27 @@ def run_config(name, cfg, params, synth, iters, warmup=3, template_path=None):
     # early through the TPU tunnel).
     _ = float(np.asarray(result.occ[:1])[0])
 
+    # The timed loop issues ONLY the step: the diag leaves are already
+    # device-resident step outputs, so collecting the lazy handles costs
+    # nothing, and the peak/sum reduction happens after the final sync.
+    # (Round-5 lesson: a per-frame tree_map(jnp.maximum) dispatched ~10
+    # tiny device ops per frame — at today's ~70 ms tunnel round-trip that
+    # alone dragged ZED2 from 26 fps to 4.5.)
+    diags = []
     t0 = time.perf_counter()
     for t in range(warmup, warmup + iters):
         d, m, p, q = frames[t]
         result, diag = dsp.update(d, m, p, q, time=t * 0.1)
-        updates += diag.visible_count  # device-side; summed lazily
-        # device-side running peak of every diagnostics counter: ONE host
-        # sync at the end exposes cap pressure for the whole run
+        diags.append(diag)
+    _ = float(np.asarray(result.occ[:1])[0])
+    dt = time.perf_counter() - t0
+
+    for diag in diags:
+        updates += diag.visible_count
         peak = diag if peak is None else jax.tree_util.tree_map(
             jnp_max, peak, diag
         )
     total_updates = int(np.asarray(updates))
-    _ = float(np.asarray(result.occ[:1])[0])
-    dt = time.perf_counter() - t0
-
     peak_diag = {k: int(np.asarray(v)) for k, v in peak._asdict().items()}
     return {
         "config": name,

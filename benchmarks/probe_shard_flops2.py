@@ -26,13 +26,15 @@ from semantic_dsp_map_tpu.parallel.sharding import make_mesh, shard_state  # noq
 from semantic_dsp_map_tpu.state import init_map_state  # noqa: E402
 import semantic_dsp_map_tpu.parallel.shard_step as ss  # noqa: E402
 
-D = 8
+import os
+
+D = int(os.environ.get("PROBE_D", "8"))
 params = FilterParams(if_consider_depth_noise=True, nb_ptc_num_per_point=1,
                       depth_noise_model_zero_order=0.2)
 base = _base_config("medium")
 grown = dataclasses.replace(
     base,
-    voxel_num_axis_z_n=base.voxel_num_axis_z_n + 3,
+    voxel_num_axis_z_n=base.voxel_num_axis_z_n + D.bit_length() - 1,
     image_height=base.image_height * D,
     camera_fy=base.camera_fy * D,
     camera_cy=base.camera_cy * D,
@@ -156,13 +158,16 @@ print(f"no cloud slab:   {g:.4f}  (cloud = {full - g:.4f})", flush=True)
 unpatch()
 
 # ---- 5. stencils
-def fake_stencils(cfg, params_, t, cloud):
-    S_, Ht, Wt = t.px.shape
-    return (jnp.ones((Ht, Wt), jnp.float32), t.weight,
-            jnp.zeros((S_, Ht, Wt), jnp.int32))
+def fake_stencil_a(cfg, params_, t, cloud):
+    return jnp.ones(t.px.shape[1:], jnp.float32)
 
 
-patch("stencil_passes", fake_stencils)
+def fake_stencil_b(cfg, params_, t, cloud, ck):
+    return t.weight, jnp.zeros(t.px.shape, jnp.int32)
+
+
+patch("stencil_pass_a_any", fake_stencil_a)
+patch("stencil_pass_b_any", fake_stencil_b)
 g = gflops()
 print(f"no stencils:     {g:.4f}  (stencils = {full - g:.4f})", flush=True)
 unpatch()
